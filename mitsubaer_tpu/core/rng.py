@@ -19,8 +19,7 @@ returns (value, new_sampler). All ops are uint32 VPU arithmetic.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import jax
 import jax.numpy as jnp
 
 INDEPENDENT = 0
@@ -85,15 +84,31 @@ def _u32_to_float(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-class Sampler(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class Sampler:
     """Stateless sampler stream. `lane` identifies the pixel/ray, `index` the
-    sample number within the pixel, `dim` the next dimension to draw."""
+    sample number within the pixel, `dim` the next dimension to draw.
+    `mode` is static (part of the pytree structure) so jit specializes on it."""
 
-    lane: jnp.ndarray   # uint32 (...,)
-    index: jnp.ndarray  # uint32 (...,) sample index
-    dim: jnp.ndarray    # uint32 scalar or (...,)
-    seed: jnp.ndarray   # uint32 scalar
-    mode: int = INDEPENDENT  # static
+    def __init__(self, lane, index, dim, seed, mode: int = INDEPENDENT):
+        self.lane = lane
+        self.index = index
+        self.dim = dim
+        self.seed = seed
+        self.mode = mode
+
+    def _replace(self, **kw):
+        d = dict(lane=self.lane, index=self.index, dim=self.dim,
+                 seed=self.seed, mode=self.mode)
+        d.update(kw)
+        return Sampler(**d)
+
+    def tree_flatten(self):
+        return (self.lane, self.index, self.dim, self.seed), self.mode
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, mode=aux)
 
 
 def make_sampler(seed, lane, sample_index, mode: int = INDEPENDENT) -> Sampler:

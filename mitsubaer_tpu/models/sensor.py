@@ -1,0 +1,80 @@
+"""Sensors: perspective pinhole camera ray generation + film-point lookup.
+
+Reference: src/sensors/perspective.cpp. Conventions match Mitsuba's lookAt
+frame: camera space x = "left", y = up, z = viewing direction; film row 0 is
+the top of the image and film x grows to the right, so image-left maps to
+camera +x (see SURVEY cbox: red wall at world +x appears on image left).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.math import dot, normalize
+from ..core.transform import apply_point, apply_vector
+from ..scene.types import Scene, Sensor
+
+
+class CameraRays(NamedTuple):
+    o: jnp.ndarray  # (N, 3)
+    d: jnp.ndarray  # (N, 3)
+
+
+def sample_rays(sensor: Sensor, px, py, width, height) -> CameraRays:
+    """px, py: continuous pixel coordinates in [0, W] x [0, H]."""
+    ndc_x = 2.0 * px / width - 1.0   # -1 at image left
+    ndc_y = 2.0 * py / height - 1.0  # -1 at image top
+    d_cam = jnp.stack(
+        [
+            -ndc_x * sensor.tan_x,
+            -ndc_y * sensor.tan_y,
+            jnp.ones_like(ndc_x),
+        ],
+        axis=-1,
+    )
+    d = normalize(apply_vector(sensor.to_world, d_cam))
+    o = jnp.broadcast_to(sensor.to_world[:3, 3], d.shape)
+    return CameraRays(o=o, d=d)
+
+
+class FilmSample(NamedTuple):
+    px: jnp.ndarray       # pixel x (continuous)
+    py: jnp.ndarray
+    valid: jnp.ndarray    # inside frustum & in front
+    importance: jnp.ndarray  # W_e / pdf factor for light tracing (per area)
+    d: jnp.ndarray        # unit direction from world point toward the camera
+
+
+def project(sensor: Sensor, p_world, width, height) -> FilmSample:
+    """Project a world point to film coordinates (for light-image splatting /
+    t=1 BDPT connections; reference perspective.cpp samplePosition inverse)."""
+    # world -> camera: invert rigid transform
+    R = sensor.to_world[:3, :3]
+    t = sensor.to_world[:3, 3]
+    p_cam = (p_world - t) @ R  # R^T applied from the right (R orthonormal)
+    z = p_cam[..., 2]
+    valid = z > jnp.maximum(sensor.near, 1e-6)
+    inv_z = 1.0 / jnp.where(valid, z, 1.0)
+    ndc_x = -p_cam[..., 0] * inv_z / sensor.tan_x
+    ndc_y = -p_cam[..., 1] * inv_z / sensor.tan_y
+    px = (ndc_x + 1.0) * 0.5 * width
+    py = (ndc_y + 1.0) * 0.5 * height
+    valid &= (px >= 0) & (px < width) & (py >= 0) & (py < height)
+
+    to_cam = t - p_world
+    dist2 = jnp.sum(to_cam * to_cam, axis=-1)
+    d = to_cam * jax_rsqrt(dist2)[..., None]
+    # importance W_e for a pinhole camera with image-plane solid-angle measure:
+    # W = 1 / (A_film * cos^4 theta) with A_film = 4 tanx tany; converting the
+    # film-area pdf to the measure used by splat-based light tracing.
+    cos_theta = dot(d, -normalize(apply_vector(sensor.to_world, jnp.array([0.0, 0.0, 1.0]))))
+    A = 4.0 * sensor.tan_x * sensor.tan_y
+    W = 1.0 / jnp.maximum(A * cos_theta ** 4, 1e-12)
+    return FilmSample(px=px, py=py, valid=valid, importance=W, d=d)
+
+
+def jax_rsqrt(x):
+    import jax
+
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-20))

@@ -1,0 +1,379 @@
+"""Host-side scene construction: accumulates shapes/BSDFs/emitters/media in
+numpy, then freezes into the flat device pytree (scene/types.py).
+
+Replaces the reference's SceneHandler plugin instantiation + Scene::configure
+wiring (librender/scenehandler.cpp, scene.cpp) with an explicit builder; the
+XML front end (scene/xml.py) drives this same API.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import spline
+from . import types as T
+
+
+@dataclass
+class _BSDF:
+    kind: int = T.BSDF_DIFFUSE
+    reflectance: tuple = (0.5, 0.5, 0.5)
+    specular_r: tuple = (1.0, 1.0, 1.0)
+    specular_t: tuple = (1.0, 1.0, 1.0)
+    eta: float = 1.5046
+    cond_eta: tuple = (0.0, 0.0, 0.0)
+    cond_k: tuple = (1.0, 1.0, 1.0)
+    alpha: float = 0.1
+    exponent: float = 30.0
+
+
+@dataclass
+class _Emitter:
+    kind: int = T.EM_AREA
+    radiance: tuple = (1.0, 1.0, 1.0)
+    position: tuple = (0.0, 0.0, 0.0)
+    direction: tuple = (0.0, 0.0, 1.0)
+    shape_id: int = -1
+    cutoff_deg: float = 20.0
+    beam_width_deg: float = 15.0
+
+
+@dataclass
+class _Medium:
+    kind: int = T.MED_HOMOGENEOUS
+    sigma_a: tuple = (0.0, 0.0, 0.0)
+    sigma_s: tuple = (0.0, 0.0, 0.0)
+    sampling_weight: float = -1.0
+    phase_kind: int = T.PH_ISOTROPIC
+    g: float = 0.0
+    scale: float = 1.0
+    # heterogeneous
+    density: Optional[np.ndarray] = None       # (nz, ny, nx)
+    density_aabb: Optional[tuple] = None
+    albedo_grid: Optional[np.ndarray] = None   # (nz, ny, nx, 3)
+    # refractive
+    rif: Optional[np.ndarray] = None           # (nz, ny, nx) samples
+    rif_aabb: Optional[tuple] = None
+    sdf: Optional[np.ndarray] = None
+    sdf_aabb: Optional[tuple] = None
+
+
+class SceneBuilder:
+    def __init__(self):
+        self._verts = []       # list of (V,3)
+        self._faces = []       # list of (F,3) with vertex offset applied
+        self._face_shape = []  # list of shape ids per face array
+        self._spheres = []     # (center, radius, shape_id)
+        self._shapes = []      # dicts: bsdf, emitter, interior, exterior
+        self._bsdfs: list[_BSDF] = []
+        self._emitters: list[_Emitter] = []
+        self._media: list[_Medium] = []
+        self._sensor = None
+        self.config = T.RenderConfig()
+        self.camera_medium = -1
+
+    # -- materials ---------------------------------------------------------
+    def add_bsdf(self, kind=T.BSDF_DIFFUSE, **kw) -> int:
+        self._bsdfs.append(_BSDF(kind=kind, **kw))
+        return len(self._bsdfs) - 1
+
+    def add_medium(self, **kw) -> int:
+        self._media.append(_Medium(**kw))
+        return len(self._media) - 1
+
+    def add_emitter(self, kind, **kw) -> int:
+        self._emitters.append(_Emitter(kind=kind, **kw))
+        return len(self._emitters) - 1
+
+    # -- shapes ------------------------------------------------------------
+    def add_mesh(self, verts, faces, bsdf=-1, emitter_radiance=None,
+                 interior=-1, exterior=-1, to_world=None) -> int:
+        verts = np.asarray(verts, np.float32)
+        if to_world is not None:
+            m = np.asarray(to_world, np.float32)
+            verts = verts @ m[:3, :3].T + m[:3, 3]
+        shape_id = len(self._shapes)
+        emitter = -1
+        if emitter_radiance is not None:
+            emitter = len(self._emitters)
+            self._emitters.append(
+                _Emitter(kind=T.EM_AREA, radiance=tuple(np.asarray(emitter_radiance, np.float64)), shape_id=shape_id)
+            )
+        self._shapes.append(dict(bsdf=bsdf, emitter=emitter, interior=interior, exterior=exterior))
+        self._verts.append(verts)
+        self._faces.append(np.asarray(faces, np.int32))
+        self._face_shape.append(shape_id)
+        return shape_id
+
+    def add_sphere(self, center, radius, bsdf=-1, emitter_radiance=None,
+                   interior=-1, exterior=-1) -> int:
+        shape_id = len(self._shapes)
+        emitter = -1
+        if emitter_radiance is not None:
+            emitter = len(self._emitters)
+            self._emitters.append(
+                _Emitter(kind=T.EM_AREA, radiance=tuple(emitter_radiance), shape_id=shape_id)
+            )
+        self._shapes.append(dict(bsdf=bsdf, emitter=emitter, interior=interior, exterior=exterior))
+        self._spheres.append((np.asarray(center, np.float32), float(radius), shape_id))
+        return shape_id
+
+    def add_rectangle(self, to_world, **kw) -> int:
+        """Unit rectangle [-1,1]^2 in the XY plane (shapes/rectangle.cpp)."""
+        v = np.array(
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+        )
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        return self.add_mesh(v, f, to_world=to_world, **kw)
+
+    def add_cube(self, to_world, **kw) -> int:
+        """Unit cube [-1,1]^3 (shapes/cube.cpp), outward normals."""
+        v = np.array(
+            [
+                [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+            ],
+            np.float32,
+        )
+        f = np.array(
+            [
+                [0, 2, 1], [0, 3, 2],  # z = -1
+                [4, 5, 6], [4, 6, 7],  # z = +1
+                [0, 1, 5], [0, 5, 4],  # y = -1
+                [3, 6, 2], [3, 7, 6],  # y = +1
+                [0, 4, 7], [0, 7, 3],  # x = -1
+                [1, 2, 6], [1, 6, 5],  # x = +1
+            ],
+            np.int32,
+        )
+        return self.add_mesh(v, f, to_world=to_world, **kw)
+
+    def set_perspective_sensor(self, to_world, fov_deg, fov_axis="x",
+                               near=1e-2, far=1e4, width=None, height=None):
+        self._sensor = dict(
+            to_world=np.asarray(to_world, np.float32),
+            fov_deg=float(fov_deg), fov_axis=fov_axis, near=near, far=far,
+        )
+        if width:
+            self.config = self.config._replace(width=width)
+        if height:
+            self.config = self.config._replace(height=height)
+
+    # -- freeze ------------------------------------------------------------
+    def build(self) -> T.Scene:
+        # geometry
+        if self._verts:
+            tri_v, tri_s = [], []
+            for verts, faces, sid in zip(self._verts, self._faces, self._face_shape):
+                tri = verts[faces]  # (F, 3, 3)
+                tri_v.append(tri)
+                tri_s.append(np.full(len(faces), sid, np.int32))
+            tri = np.concatenate(tri_v, axis=0)
+            tri_shape = np.concatenate(tri_s, axis=0)
+        else:
+            tri = np.zeros((1, 3, 3), np.float32)
+            tri_shape = np.full((1,), -1, np.int32)
+        v0 = tri[:, 0]
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        ngu = np.cross(e1, e2)
+        areas2 = np.linalg.norm(ngu, axis=-1)
+        ng = ngu / np.maximum(areas2, 1e-20)[:, None]
+
+        if self._spheres:
+            sc = np.stack([s[0] for s in self._spheres])
+            sr = np.array([s[1] for s in self._spheres], np.float32)
+            ss = np.array([s[2] for s in self._spheres], np.int32)
+        else:
+            sc = np.zeros((1, 3), np.float32)
+            sr = np.zeros((1,), np.float32)
+            ss = np.full((1,), -1, np.int32)
+
+        geo = T.Geometry(
+            v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+            ng=jnp.asarray(ng), shape_id=jnp.asarray(tri_shape),
+            sph_center=jnp.asarray(sc), sph_radius=jnp.asarray(sr),
+            sph_shape_id=jnp.asarray(ss),
+        )
+
+        ns = max(len(self._shapes), 1)
+        sh = T.Shapes(
+            bsdf=jnp.asarray(np.array([s["bsdf"] for s in self._shapes] or [-1], np.int32)),
+            emitter=jnp.asarray(np.array([s["emitter"] for s in self._shapes] or [-1], np.int32)),
+            interior=jnp.asarray(np.array([s["interior"] for s in self._shapes] or [-1], np.int32)),
+            exterior=jnp.asarray(np.array([s["exterior"] for s in self._shapes] or [-1], np.int32)),
+        )
+
+        if not self._bsdfs:
+            self._bsdfs.append(_BSDF())
+        bs = T.BSDFs(
+            kind=jnp.asarray(np.array([b.kind for b in self._bsdfs], np.int32)),
+            reflectance=jnp.asarray(np.array([b.reflectance for b in self._bsdfs], np.float32)),
+            specular_r=jnp.asarray(np.array([b.specular_r for b in self._bsdfs], np.float32)),
+            specular_t=jnp.asarray(np.array([b.specular_t for b in self._bsdfs], np.float32)),
+            eta=jnp.asarray(np.array([b.eta for b in self._bsdfs], np.float32)),
+            cond_eta=jnp.asarray(np.array([b.cond_eta for b in self._bsdfs], np.float32)),
+            cond_k=jnp.asarray(np.array([b.cond_k for b in self._bsdfs], np.float32)),
+            alpha=jnp.asarray(np.array([b.alpha for b in self._bsdfs], np.float32)),
+            exponent=jnp.asarray(np.array([b.exponent for b in self._bsdfs], np.float32)),
+        )
+
+        emitters = self._build_emitters(tri, tri_shape, areas2)
+        sensor = self._build_sensor()
+        media = self._build_media()
+
+        # scene bounds
+        pts = [tri.reshape(-1, 3)]
+        for c, r, _ in self._spheres:
+            pts.append(c[None, :] - r)
+            pts.append(c[None, :] + r)
+        allp = np.concatenate(pts, axis=0)
+        return T.Scene(
+            geo=geo, shapes=sh, bsdfs=bs, emitters=emitters, sensor=sensor,
+            media=media,
+            aabb_min=jnp.asarray(allp.min(axis=0)),
+            aabb_max=jnp.asarray(allp.max(axis=0)),
+            camera_medium=jnp.asarray(self.camera_medium, jnp.int32),
+        )
+
+    def _build_emitters(self, tri, tri_shape, areas2) -> T.Emitters:
+        if not self._emitters:
+            self._emitters.append(_Emitter(kind=T.EM_POINT, radiance=(0, 0, 0)))
+        ne = len(self._emitters)
+        tri_index, tri_cdf, tri_emitter = [], [], []
+        tri_offset = np.zeros(ne, np.int32)
+        tri_count = np.zeros(ne, np.int32)
+        area = np.zeros(ne, np.float32)
+        for ei, em in enumerate(self._emitters):
+            tri_offset[ei] = len(tri_index)
+            if em.kind == T.EM_AREA and em.shape_id >= 0:
+                ids = np.nonzero(tri_shape == em.shape_id)[0]
+                a = 0.5 * areas2[ids]
+                total = a.sum()
+                area[ei] = total
+                cdf = np.cumsum(a) / max(total, 1e-20)
+                tri_index.extend(ids.tolist())
+                tri_cdf.extend(cdf.tolist())
+                tri_emitter.extend([ei] * len(ids))
+                tri_count[ei] = len(ids)
+        if not tri_index:
+            tri_index, tri_cdf, tri_emitter = [0], [1.0], [-1]
+        return T.Emitters(
+            kind=jnp.asarray(np.array([e.kind for e in self._emitters], np.int32)),
+            radiance=jnp.asarray(np.array([e.radiance for e in self._emitters], np.float32)),
+            position=jnp.asarray(np.array([e.position for e in self._emitters], np.float32)),
+            direction=jnp.asarray(
+                np.array(
+                    [np.asarray(e.direction) / max(np.linalg.norm(e.direction), 1e-20) for e in self._emitters],
+                    np.float32,
+                )
+            ),
+            shape_id=jnp.asarray(np.array([e.shape_id for e in self._emitters], np.int32)),
+            area=jnp.asarray(area),
+            cutoff_cos=jnp.asarray(
+                np.array([np.cos(np.deg2rad(e.cutoff_deg)) for e in self._emitters], np.float32)
+            ),
+            beam_falloff_cos=jnp.asarray(
+                np.array([np.cos(np.deg2rad(e.beam_width_deg)) for e in self._emitters], np.float32)
+            ),
+            tri_index=jnp.asarray(np.array(tri_index, np.int32)),
+            tri_cdf=jnp.asarray(np.array(tri_cdf, np.float32)),
+            tri_emitter=jnp.asarray(np.array(tri_emitter, np.int32)),
+            tri_offset=jnp.asarray(tri_offset),
+            tri_count=jnp.asarray(tri_count),
+        )
+
+    def _build_sensor(self) -> T.Sensor:
+        s = self._sensor or dict(
+            to_world=np.eye(4, dtype=np.float32), fov_deg=45.0, fov_axis="x",
+            near=1e-2, far=1e4,
+        )
+        w, h = self.config.width, self.config.height
+        aspect = w / h
+        tan_half = np.tan(np.deg2rad(s["fov_deg"]) / 2)
+        if s["fov_axis"] == "x":
+            tan_x, tan_y = tan_half, tan_half / aspect
+        elif s["fov_axis"] == "y":
+            tan_x, tan_y = tan_half * aspect, tan_half
+        else:  # smaller | larger | diagonal -> approximate with smaller
+            tan_x, tan_y = tan_half, tan_half / aspect
+        return T.Sensor(
+            to_world=jnp.asarray(s["to_world"]),
+            tan_x=jnp.asarray(tan_x, jnp.float32),
+            tan_y=jnp.asarray(tan_y, jnp.float32),
+            near=jnp.asarray(s["near"], jnp.float32),
+            far=jnp.asarray(s["far"], jnp.float32),
+        )
+
+    def _build_media(self) -> T.Media:
+        if not self._media:
+            return T.empty_media()
+        nm = len(self._media)
+        kind = np.array([m.kind for m in self._media], np.int32)
+        sigma_a = np.array([m.sigma_a for m in self._media], np.float32)
+        sigma_s = np.array([m.sigma_s for m in self._media], np.float32)
+        sw = np.array([m.sampling_weight for m in self._media], np.float32)
+        # default sampling weight = max channel albedo clamped to >= 0.5
+        # (homogeneous.cpp:168-184)
+        sigma_t = sigma_a + sigma_s
+        for i in range(nm):
+            if sw[i] < 0:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    alb = np.where(sigma_t[i] > 0, sigma_s[i] / sigma_t[i], 0.0)
+                w = alb.max() if np.any(sigma_t[i] > 0) else 0.0
+                sw[i] = max(w, 0.5) if w > 0 else 0.0
+
+        g1 = T.GridData(jnp.zeros((1, 1, 1), jnp.float32), jnp.zeros(3), jnp.ones(3))
+        density = g1
+        albedo = g1
+        majorant = 0.0
+        rif_coeff, rif_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
+        sdf_coeff, sdf_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
+        sdf_error = 0.0
+        for m in self._media:
+            if m.kind == T.MED_HETEROGENEOUS and m.density is not None:
+                lo, hi = m.density_aabb
+                density = T.GridData(
+                    jnp.asarray(m.density, jnp.float32),
+                    jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+                )
+                if m.albedo_grid is not None:
+                    albedo = T.GridData(
+                        jnp.asarray(m.albedo_grid, jnp.float32),
+                        jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+                    )
+                majorant = float(np.max(m.density) * m.scale)
+            if m.kind == T.MED_REFRACTIVE and m.rif is not None:
+                rif_coeff = spline.prefilter(m.rif)
+                rif_aabb = (np.asarray(m.rif_aabb[0]), np.asarray(m.rif_aabb[1]))
+                if m.sdf is not None:
+                    sdf_coeff = spline.prefilter(m.sdf)
+                    sdf_aabb = (np.asarray(m.sdf_aabb[0]), np.asarray(m.sdf_aabb[1]))
+                    res = np.array(m.sdf.shape[::-1], np.float64)  # nx, ny, nz
+                    ext = np.asarray(sdf_aabb[1], np.float64) - np.asarray(sdf_aabb[0], np.float64)
+                    sdf_error = float(np.linalg.norm(ext / np.maximum(res - 1, 1)))
+
+        return T.Media(
+            kind=jnp.asarray(kind),
+            sigma_a=jnp.asarray(sigma_a),
+            sigma_s=jnp.asarray(sigma_s),
+            sampling_weight=jnp.asarray(sw),
+            phase=T.PhaseTable(
+                kind=jnp.asarray(np.array([m.phase_kind for m in self._media], np.int32)),
+                g=jnp.asarray(np.array([m.g for m in self._media], np.float32)),
+            ),
+            scale=jnp.asarray(np.array([m.scale for m in self._media], np.float32)),
+            density=density,
+            albedo=albedo,
+            majorant=jnp.asarray(majorant, jnp.float32),
+            rif_coeff=jnp.asarray(rif_coeff),
+            rif_min=jnp.asarray(rif_aabb[0], jnp.float32),
+            rif_max=jnp.asarray(rif_aabb[1], jnp.float32),
+            sdf_coeff=jnp.asarray(sdf_coeff),
+            sdf_min=jnp.asarray(sdf_aabb[0], jnp.float32),
+            sdf_max=jnp.asarray(sdf_aabb[1], jnp.float32),
+            sdf_error=jnp.asarray(sdf_error, jnp.float32),
+        )

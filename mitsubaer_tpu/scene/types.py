@@ -1,0 +1,224 @@
+"""Scene representation: flat pytrees of arrays.
+
+TPU-native redesign of the reference's object graph (Scene/Shape/BSDF/...
+ref-counted C++ objects, include/mitsuba/render/scene.h:49): the whole scene
+is a pytree of dense arrays indexed by integer ids, so one jitted program
+renders any scene of the same "shape class" and all per-type dispatch is
+branchless masked arithmetic. Static render settings live in RenderConfig
+(hashable, passed static to jit).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+# BSDF kinds (models/bsdf.py)
+BSDF_DIFFUSE = 0
+BSDF_DIELECTRIC = 1
+BSDF_CONDUCTOR = 2
+BSDF_NULL = 3
+BSDF_PLASTIC = 4
+BSDF_ROUGHCONDUCTOR = 5
+BSDF_THINDIELECTRIC = 6
+BSDF_ROUGHDIELECTRIC = 7
+BSDF_PHONG = 8
+BSDF_MIRROR = 9
+BSDF_HDIELECTRIC = 10  # eta queried from RIF at the hit point (hdielectric.cpp)
+BSDF_ROUGHPLASTIC = 11
+
+# Emitter kinds (models/emitter.py)
+EM_AREA = 0
+EM_POINT = 1
+EM_DIRECTIONAL = 2
+EM_COLLIMATED = 3
+EM_CONSTANT = 4
+EM_SPOT = 5
+
+# Medium kinds (models/medium.py)
+MED_HOMOGENEOUS = 0
+MED_HETEROGENEOUS = 1
+MED_REFRACTIVE = 2
+
+# Phase kinds
+PH_ISOTROPIC = 0
+PH_HG = 1
+PH_RAYLEIGH = 2
+
+
+class Geometry(NamedTuple):
+    """All triangles of the scene in one SoA buffer + analytic spheres."""
+
+    v0: jnp.ndarray        # (T, 3)
+    e1: jnp.ndarray        # (T, 3) v1 - v0
+    e2: jnp.ndarray        # (T, 3) v2 - v0
+    ng: jnp.ndarray        # (T, 3) unit geometric normal
+    shape_id: jnp.ndarray  # (T,) int32
+    sph_center: jnp.ndarray    # (S, 3)
+    sph_radius: jnp.ndarray    # (S,)
+    sph_shape_id: jnp.ndarray  # (S,) int32
+
+
+class Shapes(NamedTuple):
+    """Per-shape wiring (reference Shape::addChild, shape.cpp:129-180)."""
+
+    bsdf: jnp.ndarray       # (NS,) int32, -1 = none (pure medium boundary)
+    emitter: jnp.ndarray    # (NS,) int32, -1 = none
+    interior: jnp.ndarray   # (NS,) int32 medium id, -1 = vacuum
+    exterior: jnp.ndarray   # (NS,) int32 medium id, -1 = vacuum
+
+
+class BSDFs(NamedTuple):
+    """Tagged-union BSDF parameter table."""
+
+    kind: jnp.ndarray           # (NB,) int32
+    reflectance: jnp.ndarray    # (NB, 3) diffuse albedo / plastic diffuse
+    specular_r: jnp.ndarray     # (NB, 3)
+    specular_t: jnp.ndarray     # (NB, 3)
+    eta: jnp.ndarray            # (NB,) relative IOR int/ext (dielectrics)
+    cond_eta: jnp.ndarray       # (NB, 3) conductor eta
+    cond_k: jnp.ndarray         # (NB, 3) conductor k
+    alpha: jnp.ndarray          # (NB,) GGX roughness
+    exponent: jnp.ndarray       # (NB,) phong exponent
+
+
+class Emitters(NamedTuple):
+    kind: jnp.ndarray        # (NE,) int32
+    radiance: jnp.ndarray    # (NE, 3) area radiance / point intensity /
+    #                           directional irradiance / collimated power
+    position: jnp.ndarray    # (NE, 3)
+    direction: jnp.ndarray   # (NE, 3) unit
+    shape_id: jnp.ndarray    # (NE,) int32 (area emitters), -1 otherwise
+    area: jnp.ndarray        # (NE,) total surface area of area emitters
+    cutoff_cos: jnp.ndarray  # (NE,) spot cutoff cosine
+    beam_falloff_cos: jnp.ndarray  # (NE,)
+    # flattened per-triangle sampling table for area emitters
+    tri_index: jnp.ndarray   # (M,) int32 global triangle id
+    tri_cdf: jnp.ndarray     # (M,) cdf within the owning emitter's segment
+    tri_emitter: jnp.ndarray  # (M,) int32
+    tri_offset: jnp.ndarray  # (NE,) int32 segment start in the flat table
+    tri_count: jnp.ndarray   # (NE,) int32
+
+
+class Sensor(NamedTuple):
+    to_world: jnp.ndarray    # (4, 4) camera-to-world
+    tan_x: jnp.ndarray       # tan(fov_x / 2)
+    tan_y: jnp.ndarray
+    near: jnp.ndarray
+    far: jnp.ndarray
+
+
+class PhaseTable(NamedTuple):
+    kind: jnp.ndarray  # (NM,) int32 per medium
+    g: jnp.ndarray     # (NM,) HG asymmetry
+
+
+class GridData(NamedTuple):
+    """A density/albedo voxel grid shared layout (constant grids use (1,1,1))."""
+
+    data: jnp.ndarray      # (nz, ny, nx) or (nz, ny, nx, 3)
+    aabb_min: jnp.ndarray  # (3,)
+    aabb_max: jnp.ndarray  # (3,)
+
+
+class Media(NamedTuple):
+    """Tagged-union medium table (reference medium.h:113 + plugins).
+
+    To keep the pytree static-shaped there is at most one heterogeneous
+    density grid and one refractive-index field per scene (matching every
+    reference scene); homogeneous coefficients are per-medium arrays.
+    """
+
+    kind: jnp.ndarray       # (NM,) int32
+    sigma_a: jnp.ndarray    # (NM, 3)
+    sigma_s: jnp.ndarray    # (NM, 3)
+    sampling_weight: jnp.ndarray  # (NM,) mediumSamplingWeight
+    phase: PhaseTable
+    scale: jnp.ndarray      # (NM,) heterogeneous density scale
+    # heterogeneous: sigma_t = scale * density(p) * sigma_t_color
+    density: GridData       # shared density grid (medium with kind HETEROGENEOUS)
+    albedo: GridData        # shared albedo grid (3-channel or broadcast)
+    majorant: jnp.ndarray   # () max sigma_t over grid for Woodcock tracking
+    # refractive: RIF spline field + SDF for inside tests
+    rif_coeff: jnp.ndarray   # (nz, ny, nx) B-spline coefficients
+    rif_min: jnp.ndarray     # (3,)
+    rif_max: jnp.ndarray     # (3,)
+    sdf_coeff: jnp.ndarray   # (nz, ny, nx) B-spline coefficients of SDF
+    sdf_min: jnp.ndarray
+    sdf_max: jnp.ndarray
+    sdf_error: jnp.ndarray   # () maxSDFError (voxel diagonal)
+
+
+class Scene(NamedTuple):
+    geo: Geometry
+    shapes: Shapes
+    bsdfs: BSDFs
+    emitters: Emitters
+    sensor: Sensor
+    media: Media
+    aabb_min: jnp.ndarray
+    aabb_max: jnp.ndarray
+    camera_medium: jnp.ndarray  # int32 medium id at the camera, -1 = vacuum
+
+
+class RenderConfig(NamedTuple):
+    """Static (hashable) render settings — the analogue of integrator/film
+    Properties in the reference. Passed as a static argument to jit."""
+
+    width: int = 256
+    height: int = 256
+    max_depth: int = 12          # reference MonteCarloIntegrator maxDepth
+    rr_depth: int = 5            # russian roulette start depth
+    integrator: str = "path"     # path | volpath | volpath_simple | direct | ao
+    filter: str = "gaussian"     # box | tent | gaussian
+    sampler: str = "independent"  # independent | lds | stratified
+    spp: int = 16
+    # transient / ToF decomposition (film.cpp:56-80)
+    decomposition: str = "steadystate"  # steadystate | transient | bounce
+    min_bound: float = 0.0
+    max_bound: float = 0.0
+    bin_width: float = 1.0
+    # CW-ToF modulation (pathlengthsampler.cpp)
+    modulation: str = "none"     # none | sine | square | hamiltonian | mseq | depthselective
+    lambda_: float = 1.0
+    phase: float = 0.0
+    P: int = 32
+    neighbors: int = 3
+    # eikonal marching controls (heterogeneousrefractive.cpp:208-217)
+    er_stepsize: float = 1e-3
+    er_maxsteps: int = 4096
+    bvp_tol2: float = 1e-6
+    rr_weight: float = 1e-2
+    hide_emitters: bool = False
+    strict_normals: bool = False
+    sample_direct: bool = True   # bdpt sampleDirect analogue
+
+    @property
+    def n_frames(self) -> int:
+        if self.decomposition in ("transient", "bounce") and self.modulation == "none":
+            return max(int(np.ceil((self.max_bound - self.min_bound) / self.bin_width)), 1)
+        return 1
+
+
+def empty_media() -> Media:
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    g1 = GridData(jnp.zeros((1, 1, 1), jnp.float32), jnp.zeros(3), jnp.ones(3))
+    return Media(
+        kind=jnp.zeros((1,), jnp.int32),
+        sigma_a=z3,
+        sigma_s=z3,
+        sampling_weight=jnp.ones((1,), jnp.float32),
+        phase=PhaseTable(jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.float32)),
+        scale=jnp.ones((1,), jnp.float32),
+        density=g1,
+        albedo=g1,
+        majorant=jnp.zeros((), jnp.float32),
+        rif_coeff=jnp.ones((1, 1, 1), jnp.float32),
+        rif_min=jnp.zeros(3),
+        rif_max=jnp.ones(3),
+        sdf_coeff=jnp.ones((1, 1, 1), jnp.float32),
+        sdf_min=jnp.zeros(3),
+        sdf_max=jnp.ones(3),
+        sdf_error=jnp.zeros((), jnp.float32),
+    )

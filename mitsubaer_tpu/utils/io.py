@@ -1,0 +1,313 @@
+"""Scene/data IO: OBJ/PLY meshes, OpenEXR images, Mitsuba .vol grids.
+
+Replaces the reference's libcore Bitmap EXR path (src/libcore/bitmap.cpp) and
+gridvolume's .vol loader (src/volume/gridvolume.cpp:54-97 format doc) with
+small self-contained numpy implementations — no OpenEXR/Xerces dependency.
+A C++ fast path for bulk mesh/volume parsing lives in mitsubaer_tpu/native.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# OBJ / PLY loading
+# ---------------------------------------------------------------------------
+def load_obj(path):
+    """Minimal OBJ parser: returns (vertices (V,3) f32, faces (F,3) i32).
+    Polygon faces are fan-triangulated. Handles v/vt/vn index syntax and
+    negative indices."""
+    verts, faces = [], []
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = []
+                for tok in parts[1:]:
+                    i = tok.split("/")[0]
+                    i = int(i)
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32).reshape(-1, 3),
+    )
+
+
+def load_ply(path):
+    """Minimal PLY parser (ascii + binary_little_endian) for vertex/face data."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError("not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(prop_type, prop_name) or ('list', idx_t, cnt_t, name)])
+        while True:
+            line = f.readline().split()
+            if not line:
+                continue
+            if line[0] == b"format":
+                fmt = line[1].decode()
+            elif line[0] == b"element":
+                elements.append([line[1].decode(), int(line[2]), []])
+            elif line[0] == b"property":
+                if line[1] == b"list":
+                    elements[-1][2].append(("list", line[2].decode(), line[3].decode(), line[4].decode()))
+                else:
+                    elements[-1][2].append((line[1].decode(), line[2].decode()))
+            elif line[0] == b"end_header":
+                break
+        types = {"float": "f4", "float32": "f4", "double": "f8", "int": "i4",
+                 "int32": "i4", "uint": "u4", "uint32": "u4", "uchar": "u1",
+                 "uint8": "u1", "short": "i2", "ushort": "u2", "char": "i1"}
+        verts = None
+        faces = []
+        for name, count, props in elements:
+            if fmt == "ascii":
+                rows = [f.readline().split() for _ in range(count)]
+                if name == "vertex":
+                    xyz_i = [i for i, p in enumerate(props) if p[-1] in ("x", "y", "z")]
+                    verts = np.array(
+                        [[float(r[i]) for i in xyz_i] for r in rows], np.float32
+                    )
+                elif name == "face":
+                    for r in rows:
+                        n = int(r[0])
+                        idx = [int(x) for x in r[1 : 1 + n]]
+                        for k in range(1, n - 1):
+                            faces.append([idx[0], idx[k], idx[k + 1]])
+            else:
+                if name == "vertex" and all(p[0] != "list" for p in props):
+                    dt = np.dtype([(p[1], "<" + types[p[0]]) for p in props])
+                    data = np.frombuffer(f.read(count * dt.itemsize), dt)
+                    verts = np.stack(
+                        [data["x"], data["y"], data["z"]], axis=-1
+                    ).astype(np.float32)
+                elif name == "face":
+                    for _ in range(count):
+                        (cnt_t, idx_t) = (props[0][1], props[0][2])
+                        n = np.frombuffer(f.read(np.dtype(types[cnt_t]).itemsize), "<" + types[cnt_t])[0]
+                        idx = np.frombuffer(
+                            f.read(int(n) * np.dtype(types[idx_t]).itemsize), "<" + types[idx_t]
+                        )
+                        for k in range(1, int(n) - 1):
+                            faces.append([int(idx[0]), int(idx[k]), int(idx[k + 1])])
+    return verts, np.asarray(faces, np.int32).reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# OpenEXR (scanline, float/half, NONE/ZIP/ZIPS compression)
+# ---------------------------------------------------------------------------
+_EXR_MAGIC = 20000630
+_PIXEL_T = {0: np.uint32, 1: np.float16, 2: np.float32}
+
+
+def _exr_attr(name: str, typ: str, data: bytes) -> bytes:
+    return name.encode() + b"\0" + typ.encode() + b"\0" + struct.pack("<i", len(data)) + data
+
+
+def write_exr(path, image: np.ndarray, channel_names=None):
+    """Write a scanline EXR, float32, ZIP-per-16-scanlines compression.
+
+    image: (H, W) or (H, W, C). Default channels RGB(A)/Y by C.
+    """
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    if channel_names is None:
+        channel_names = {1: ["Y"], 2: ["R", "G"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[C]
+    order = np.argsort(channel_names)  # EXR requires alphabetical channel order
+
+    chlist = b""
+    for i in order:
+        chlist += channel_names[i].encode() + b"\0" + struct.pack("<iiii", 2, 0, 1, 1)
+    chlist += b"\0"
+
+    header = b""
+    header += _exr_attr("channels", "chlist", chlist)
+    header += _exr_attr("compression", "compression", bytes([3]))  # ZIP
+    header += _exr_attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, W - 1, H - 1))
+    header += _exr_attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, W - 1, H - 1))
+    header += _exr_attr("lineOrder", "lineOrder", bytes([0]))
+    header += _exr_attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += _exr_attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    header += _exr_attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    blocks = []
+    for y0 in range(0, H, 16):
+        ny = min(16, H - y0)
+        raw = b""
+        for y in range(y0, y0 + ny):
+            for i in order:
+                raw += img[y, :, i].tobytes()
+        blocks.append((y0, _exr_compress_zip(raw)))
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", _EXR_MAGIC, 2))
+        f.write(header)
+        offset_pos = f.tell()
+        n_blocks = len(blocks)
+        f.write(b"\0" * 8 * n_blocks)
+        offsets = []
+        for y0, data in blocks:
+            offsets.append(f.tell())
+            f.write(struct.pack("<ii", y0, len(data)))
+            f.write(data)
+        f.seek(offset_pos)
+        f.write(struct.pack("<%dQ" % n_blocks, *offsets))
+
+
+def _exr_predictor_encode(raw: bytes) -> bytes:
+    arr = np.frombuffer(raw, np.uint8)
+    half = (len(arr) + 1) // 2
+    interleaved = np.zeros(len(arr), np.uint8)
+    interleaved[0:half] = arr[0::2]
+    interleaved[half:] = arr[1::2]
+    out = interleaved.astype(np.int16)
+    out[1:] = out[1:] - out[:-1] + (128 + 256)
+    return out.astype(np.uint8).tobytes()
+
+
+def _exr_predictor_decode(data: bytes) -> bytes:
+    # inverse of encode: d[0]=x[0]; d[i]=d[i-1]+x[i]-384 (mod 256), then
+    # de-interleave the two byte planes
+    x = np.frombuffer(data, np.uint8).astype(np.int64)
+    d = np.cumsum(np.concatenate([[x[0]], x[1:] - (128 + 256)])) % 256
+    d = d.astype(np.uint8)
+    half = (len(d) + 1) // 2
+    out = np.zeros(len(d), np.uint8)
+    out[0::2] = d[:half]
+    out[1::2] = d[half:]
+    return out.tobytes()
+
+
+def _exr_compress_zip(raw: bytes) -> bytes:
+    comp = zlib.compress(_exr_predictor_encode(raw))
+    return comp if len(comp) < len(raw) else raw
+
+
+def read_exr(path):
+    """Read a scanline EXR (NONE/ZIPS/ZIP compression, half/float/uint).
+    Returns (image (H, W, C) float32, channel_names)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, version = struct.unpack_from("<ii", buf, 0)
+    if magic != _EXR_MAGIC:
+        raise ValueError("not an EXR file")
+    pos = 8
+    attrs = {}
+    while buf[pos] != 0:
+        e = buf.index(b"\0", pos)
+        name = buf[pos:e].decode(); pos = e + 1
+        e = buf.index(b"\0", pos)
+        typ = buf[pos:e].decode(); pos = e + 1
+        (size,) = struct.unpack_from("<i", buf, pos); pos += 4
+        attrs[name] = (typ, buf[pos : pos + size]); pos += size
+    pos += 1
+
+    # channels
+    chdata = attrs["channels"][1]
+    channels = []
+    cpos = 0
+    while chdata[cpos] != 0:
+        e = chdata.index(b"\0", cpos)
+        cname = chdata[cpos:e].decode(); cpos = e + 1
+        ptype, _, sx, sy = struct.unpack_from("<iiii", chdata, cpos); cpos += 16
+        channels.append((cname, ptype))
+    compression = attrs["compression"][1][0]
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+    W, H = x1 - x0 + 1, y1 - y0 + 1
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}[compression]
+    n_blocks = (H + lines_per_block - 1) // lines_per_block
+    offsets = struct.unpack_from("<%dQ" % n_blocks, buf, pos)
+
+    img = np.zeros((H, W, len(channels)), np.float32)
+    for off in offsets:
+        y, size = struct.unpack_from("<ii", buf, off)
+        data = buf[off + 8 : off + 8 + size]
+        ny = min(lines_per_block, y1 - y + 1)
+        raw_size = ny * W * sum(np.dtype(_PIXEL_T[pt]).itemsize for _, pt in channels)
+        if compression == 0 or len(data) == raw_size:
+            raw = data
+        elif compression in (2, 3):
+            raw = _exr_predictor_decode(zlib.decompress(data))
+        else:
+            raise NotImplementedError(f"EXR compression {compression}")
+        rpos = 0
+        for yy in range(y - y0, y - y0 + ny):
+            for ci, (cname, pt) in enumerate(channels):
+                dt = np.dtype(_PIXEL_T[pt])
+                row = np.frombuffer(raw, dt, W, rpos)
+                rpos += W * dt.itemsize
+                img[yy, :, ci] = row.astype(np.float32)
+    names = [c for c, _ in channels]
+    # reorder alphabetical -> RGB(A) when applicable
+    want = [n for n in ["R", "G", "B", "A", "Y"] if n in names]
+    if len(want) == len(names):
+        img = img[..., [names.index(n) for n in want]]
+        names = want
+    return img, names
+
+
+# ---------------------------------------------------------------------------
+# Mitsuba .vol grids (gridvolume.cpp:54-97)
+# ---------------------------------------------------------------------------
+def read_vol(path):
+    """Read a Mitsuba VOL3 grid. Returns (data (nz, ny, nx, ch) f32,
+    aabb_min (3,), aabb_max (3,))."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:3] != b"VOL" or buf[3] != 3:
+        raise ValueError("not a VOL3 file")
+    enc, nx, ny, nz, ch = struct.unpack_from("<iiiii", buf, 4)
+    bbox = struct.unpack_from("<6f", buf, 24)
+    off = 48
+    n = nx * ny * nz * ch
+    if enc == 1:
+        data = np.frombuffer(buf, "<f4", n, off)
+    elif enc == 2:
+        data = np.frombuffer(buf, "<f2", n, off).astype(np.float32)
+    elif enc == 3:
+        data = np.frombuffer(buf, "u1", n, off).astype(np.float32) / 255.0
+    else:
+        raise NotImplementedError(f"vol encoding {enc}")
+    data = data.reshape(nz, ny, nx, ch).astype(np.float32)
+    return data, np.array(bbox[:3], np.float32), np.array(bbox[3:], np.float32)
+
+
+def write_vol(path, data, aabb_min, aabb_max):
+    """Write a float32 VOL3 grid. data: (nz, ny, nx) or (nz, ny, nx, ch)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 3:
+        data = data[..., None]
+    nz, ny, nx, ch = data.shape
+    with open(path, "wb") as f:
+        f.write(b"VOL\x03")
+        f.write(struct.pack("<iiiii", 1, nx, ny, nz, ch))
+        f.write(struct.pack("<6f", *np.asarray(aabb_min, np.float32), *np.asarray(aabb_max, np.float32)))
+        f.write(data.tobytes())
+
+
+def write_npy(path, image):
+    np.save(path, np.asarray(image))
+
+
+def write_png(path, image, gamma=True):
+    """Tonemapped 8-bit PNG via PIL (ldrfilm analogue)."""
+    from PIL import Image
+
+    img = np.asarray(image, np.float32)
+    if gamma:
+        img = np.where(img <= 0.0031308, img * 12.92, 1.055 * np.maximum(img, 1e-8) ** (1 / 2.4) - 0.055)
+    img8 = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    Image.fromarray(img8).save(path)
