@@ -78,6 +78,93 @@ def render_pass(scene: Scene, accum, cfg: RenderConfig, sppc: int, seed, pass_id
     return accum
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"), donate_argnums=(1,))
+def beam_splat_pass(scene: Scene, splat, cfg: RenderConfig, n_samples: int,
+                    seed, pass_idx):
+    """Single-scatter light-tracing splat for collimated beam emitters: the
+    (emitter -> y -> camera) family has measure zero under camera-side
+    sampling (the beam is delta in position+direction), so we integrate it
+    directly along the beam: equiangular w.r.t. the camera, project y to the
+    film, splat
+
+        power * Tr(o_b, y) * sigma_s(y) * rho(w_b -> y->cam) * Tr(y, cam)
+            / (d^2 * pdf(s))
+
+    This is the camera-side equivalent of the reference BDPT's (s=2, t=1)
+    light-image connections (bdpt_proc.cpp light-image splatting)."""
+    from ..core.math import dot as _dot
+    from ..models import medium as medium_m
+    from ..models import phase as phase_m
+    from . import common, volpath as volpath_m
+
+    H, W = cfg.height, cfg.width
+    beam = volpath_m.get_beam(scene)
+    eps = common.scene_epsilon(scene)
+    lane = jnp.arange(n_samples, dtype=jnp.uint32)
+    smp = rng.make_sampler(seed ^ jnp.uint32(0xBEA11), lane, pass_idx)
+    u, smp = rng.next_1d(smp)
+
+    cam = jnp.broadcast_to(scene.sensor.to_world[:3, 3], (n_samples, 3))
+    y, sdist, pdf_s, dist, d_yc = volpath_m.sample_beam_point(beam, cam, u)
+    active = jnp.broadcast_to(beam.exists, (n_samples,))
+
+    media = scene.media
+    bmed = jnp.broadcast_to(beam.medium, (n_samples,))
+    from ..scene.types import MED_HETEROGENEOUS
+
+    kind, sa, ss, _, scale = medium_m.params(media, bmed)
+    dens = jnp.where(
+        kind == MED_HETEROGENEOUS,
+        medium_m.density_at(media, y) * scale,
+        jnp.ones((n_samples,)),
+    )
+    sigma_s_y = ss * dens[..., None]
+    rho = phase_m.eval(media.phase, bmed, jnp.broadcast_to(beam.d, (n_samples, 3)), d_yc)
+
+    o_b = jnp.broadcast_to(beam.o, (n_samples, 3))
+    d_b = jnp.broadcast_to(beam.d, (n_samples, 3))
+    tr1, smp = volpath_m.attenuated_visibility(
+        scene, eps, o_b, d_b, sdist, jnp.full((n_samples,), -1, jnp.int32), smp, active
+    )
+    tr2, smp = volpath_m.attenuated_visibility(
+        scene, eps, y + d_yc * eps, d_yc, dist - 2 * eps, bmed, smp, active
+    )
+    value = (
+        beam.power * tr1 * sigma_s_y * tr2
+        * (rho / jnp.maximum(pdf_s * dist * dist, 1e-20))[..., None]
+    )
+
+    fs = sensor_m.project(scene.sensor, y, W, H)
+    value = value * fs.inv_pixel_omega[..., None]
+    ok = active & fs.valid & jnp.all(jnp.isfinite(value), axis=-1)
+    value = jnp.where(ok[..., None], value, 0.0)
+    px = jnp.clip(fs.px.astype(jnp.int32), 0, W - 1)
+    py = jnp.clip(fs.py.astype(jnp.int32), 0, H - 1)
+    pix = py * W + px
+
+    if cfg.n_frames == 1:
+        flat = splat.reshape(H * W, 3)
+        flat = flat.at[pix].add(value)
+        return flat.reshape(H, W, 3)
+    else:
+        plen = sdist + dist
+        key = plen if cfg.decomposition != "bounce" else jnp.full_like(plen, 2.0)
+        b = jnp.floor((key - cfg.min_bound) / cfg.bin_width).astype(jnp.int32)
+        inside = (key >= cfg.min_bound) & (key < cfg.max_bound) & ok
+        b = jnp.clip(b, 0, cfg.n_frames - 1)
+        flat = splat.reshape(H * W, cfg.n_frames, 3)
+        flat = flat.at[pix, b].add(jnp.where(inside[..., None], value, 0.0))
+        return flat.reshape(H, W, cfg.n_frames * 3)
+
+
+def _has_beam(scene) -> bool:
+    import numpy as np
+
+    from ..scene.types import EM_COLLIMATED
+
+    return bool(np.any(np.asarray(scene.emitters.kind) == EM_COLLIMATED))
+
+
 def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 0,
            spp_per_pass: int = None):
     """Render to a developed (H, W, 3*F) image."""
@@ -100,4 +187,16 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         )
         done += sppc
         pass_idx += 1
-    return film_m.develop(accum)
+    img = film_m.develop(accum)
+
+    if cfg.integrator.startswith("volpath") and _has_beam(scene):
+        n_splat = 4 * npix
+        splat = jnp.zeros((cfg.height, cfg.width, cfg.n_frames * 3), jnp.float32)
+        n_passes = 4
+        for i in range(n_passes):
+            splat = beam_splat_pass(
+                scene, splat, cfg, n_splat,
+                jnp.asarray(seed, jnp.uint32), jnp.asarray(i, jnp.uint32),
+            )
+        img = img + splat / (n_splat * n_passes)
+    return img

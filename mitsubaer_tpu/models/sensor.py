@@ -42,7 +42,9 @@ class FilmSample(NamedTuple):
     px: jnp.ndarray       # pixel x (continuous)
     py: jnp.ndarray
     valid: jnp.ndarray    # inside frustum & in front
-    importance: jnp.ndarray  # W_e / pdf factor for light tracing (per area)
+    inv_pixel_omega: jnp.ndarray  # 1 / (solid angle subtended by one pixel
+    #   in this direction): converts a radiance integral over the pixel
+    #   footprint into the mean-radiance pixel value the camera pass computes
     d: jnp.ndarray        # unit direction from world point toward the camera
 
 
@@ -65,13 +67,12 @@ def project(sensor: Sensor, p_world, width, height) -> FilmSample:
     to_cam = t - p_world
     dist2 = jnp.sum(to_cam * to_cam, axis=-1)
     d = to_cam * jax_rsqrt(dist2)[..., None]
-    # importance W_e for a pinhole camera with image-plane solid-angle measure:
-    # W = 1 / (A_film * cos^4 theta) with A_film = 4 tanx tany; converting the
-    # film-area pdf to the measure used by splat-based light tracing.
-    cos_theta = dot(d, -normalize(apply_vector(sensor.to_world, jnp.array([0.0, 0.0, 1.0]))))
+    # solid angle of one pixel seen along this direction:
+    #   Omega_pix = (4 tanx tany / (W H)) * cos^3(theta)
+    cos_theta = dot(-d, normalize(apply_vector(sensor.to_world, jnp.array([0.0, 0.0, 1.0]))))
     A = 4.0 * sensor.tan_x * sensor.tan_y
-    W = 1.0 / jnp.maximum(A * cos_theta ** 4, 1e-12)
-    return FilmSample(px=px, py=py, valid=valid, importance=W, d=d)
+    inv_omega = (width * height) / jnp.maximum(A * cos_theta ** 3, 1e-12)
+    return FilmSample(px=px, py=py, valid=valid, inv_pixel_omega=inv_omega, d=d)
 
 
 def jax_rsqrt(x):
