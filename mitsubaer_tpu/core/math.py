@@ -29,7 +29,8 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def length(v: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 0.0))
+    # the 1e-30 floor keeps sqrt' finite at 0 under reverse-mode AD
+    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 1e-30))
 
 
 def length_sq(v: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
@@ -37,10 +38,10 @@ def length_sq(v: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
 
 
 def normalize(v: jnp.ndarray) -> jnp.ndarray:
-    """Safe normalize; returns v/|v| (zero vectors produce zeros, not NaN)."""
+    """Safe normalize; returns v/|v| (zero vectors produce zeros, not NaN).
+    The floor is applied INSIDE rsqrt so the backward pass stays finite."""
     l2 = dot(v, v, keepdims=True)
-    inv = jnp.where(l2 > 0, jax.lax.rsqrt(jnp.maximum(l2, 1e-38)), 0.0)
-    return v * inv
+    return v * jax.lax.rsqrt(jnp.maximum(l2, 1e-24))
 
 
 def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
@@ -209,10 +210,12 @@ def spherical_coordinates(d):
 
 def mis_weight_power(pdf_a, pdf_b):
     """Power heuristic (beta=2) as used by all reference integrators
-    (e.g. src/integrators/path/path.cpp miWeight)."""
+    (e.g. src/integrators/path/path.cpp miWeight). The max() inside the
+    division keeps the 0/0 branch NaN-free under reverse-mode AD."""
     pdf_a2 = pdf_a * pdf_a
     pdf_b2 = pdf_b * pdf_b
-    return jnp.where(pdf_a2 + pdf_b2 > 0, pdf_a2 / (pdf_a2 + pdf_b2), 0.0)
+    denom = pdf_a2 + pdf_b2
+    return jnp.where(denom > 0, pdf_a2 / jnp.maximum(denom, 1e-30), 0.0)
 
 
 def sgn(x):

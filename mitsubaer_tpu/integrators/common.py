@@ -30,9 +30,22 @@ def new_sink(cfg: RenderConfig, n, pixel=None) -> Sink:
     return Sink(steady=jnp.zeros((n, 3), jnp.float32), frames=frames, pixel=pixel)
 
 
-def add_contribution(sink: Sink, cfg: RenderConfig, value, plen, depth, active):
-    """value: (N, 3); plen: (N,) optical path length; depth: (N,) int."""
+def add_contribution(sink: Sink, cfg: RenderConfig, value, plen, depth, active,
+                     log_p=None):
+    """value: (N, 3); plen: (N,) optical path length; depth: (N,) int.
+
+    log_p: attached log-density of the theta-dependent sampling decisions
+    that produced this contribution (evaluated at the detached samples).
+    When given, a zero-valued surrogate stop(value)*(log_p - stop(log_p)) is
+    added so that d/dtheta recovers the score term E[W * dlog p] — together
+    with the attached f/p weights this makes parameter gradients of the
+    rendered image unbiased (differential path sampling)."""
+    import jax
+
     value = jnp.where(active[..., None], value, 0.0)
+    if log_p is not None:
+        score = (log_p - jax.lax.stop_gradient(log_p))[..., None]
+        value = value + jax.lax.stop_gradient(value) * score
     if cfg.modulation != "none":
         w = tof.correlation_function(cfg, plen)
         return sink._replace(steady=sink.steady + value * w[..., None])

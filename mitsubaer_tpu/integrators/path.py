@@ -111,7 +111,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
         )
         w_nee = jnp.where(ds.delta, 1.0, mis_weight_power(ds.pdf, bsdf_pdf_dir))
         contrib = (
-            s.throughput * f_nee * ds.value * (w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
+            s.throughput * f_nee * ds.value * (w_nee / jnp.maximum(ds.pdf, 1e-12))[..., None]
         )
         sink = common.add_contribution(
             sink, cfg, contrib, plen_at_hit + ds.dist, s.depth + 1,

@@ -121,17 +121,16 @@ def beam_splat_pass(scene: Scene, splat, cfg: RenderConfig, n_samples: int,
     sigma_s_y = ss * dens[..., None]
     rho = phase_m.eval(media.phase, bmed, jnp.broadcast_to(beam.d, (n_samples, 3)), d_yc)
 
-    o_b = jnp.broadcast_to(beam.o, (n_samples, 3))
-    d_b = jnp.broadcast_to(beam.d, (n_samples, 3))
-    tr1, smp = volpath_m.attenuated_visibility(
-        scene, eps, o_b, d_b, sdist, jnp.full((n_samples,), -1, jnp.int32), smp, active
-    )
+    bricks = medium_m.DensityBricks(scene.media)
+    tau = volpath_m.build_beam_tau(scene, beam, bricks)
+    tr1 = volpath_m.beam_transmittance(beam, tau, sdist)
     tr2, smp = volpath_m.attenuated_visibility(
-        scene, eps, y + d_yc * eps, d_yc, dist - 2 * eps, bmed, smp, active
+        scene, eps, y + d_yc * eps, d_yc, dist - 2 * eps, bmed, smp, active,
+        bricks=bricks,
     )
     value = (
         beam.power * tr1 * sigma_s_y * tr2
-        * (rho / jnp.maximum(pdf_s * dist * dist, 1e-20))[..., None]
+        * (rho / jnp.maximum(pdf_s * dist * dist, 1e-12))[..., None]
     )
 
     fs = sensor_m.project(scene.sensor, y, W, H)

@@ -63,7 +63,8 @@ def _is_null_surface(scene, bsdf_idx):
     return (bsdf_idx < 0) | (kind == BSDF_NULL)
 
 
-def segment_transmittance(scene, medium_idx, o, d, dist, smp, active):
+def segment_transmittance(scene, medium_idx, o, d, dist, smp, active,
+                          differentiable: bool = False, bricks=None):
     """Transmittance of a straight segment inside medium `medium_idx`
     (-1 = vacuum -> 1). Homogeneous analytic; heterogeneous ratio tracking."""
     media = scene.media
@@ -74,25 +75,29 @@ def segment_transmittance(scene, medium_idx, o, d, dist, smp, active):
     tr = jnp.where(hom[..., None], tr_h, tr)
     het = active & (kind == MED_HETEROGENEOUS)
     tr_r, smp = medium_m.transmittance_ratio_tracking(
-        media, sa, ss, scale, o, d, dist, smp, het
+        media, sa, ss, scale, o, d, dist, smp, het,
+        differentiable=differentiable, bricks=bricks,
     )
     tr = jnp.where(het[..., None], tr_r, tr)
     return tr, smp
 
 
 def attenuated_visibility(scene, eps, o, d, dist, medium_idx, smp, active,
-                          max_crossings: int = 4):
+                          max_crossings: int = 4, differentiable: bool = False,
+                          bricks=None):
     """Transmittance along a shadow segment, walking through null medium
     boundaries (Scene::evalTransmittanceAll, scene.cpp:762). Opaque surfaces
     block (returns 0)."""
     n = o.shape[0]
 
-    def body(carry, _):
-        cur_o, remaining, med, tr, running, s = carry
+    def body(carry):
+        cur_o, remaining, med, tr, running, s, it = carry
         hit = isect.intersect(scene.geo, cur_o, d, jnp.full((n,), eps * 0.5),
                               remaining - eps)
         seg = jnp.where(hit.valid, hit.t, remaining)
-        tr_seg, s = segment_transmittance(scene, med, cur_o, d, seg, s, running)
+        tr_seg, s = segment_transmittance(scene, med, cur_o, d, seg, s, running,
+                                          differentiable=differentiable,
+                                          bricks=bricks)
         tr = jnp.where(running[..., None], tr * tr_seg, tr)
 
         b_idx, _, m_in, m_ex = _shape_tables(scene, hit.shape_id)
@@ -107,13 +112,16 @@ def attenuated_visibility(scene, eps, o, d, dist, medium_idx, smp, active,
         cur_o = jnp.where(crossing[..., None], hit.p + d * eps, cur_o)
         remaining = jnp.where(crossing, remaining - seg - eps, remaining)
         running = crossing & (remaining > eps)
-        return (cur_o, remaining, med, tr, running, s), None
+        return (cur_o, remaining, med, tr, running, s, it + 1)
 
-    init = (o, dist, medium_idx, jnp.ones((n, 3), jnp.float32), active, smp)
-    (o_, rem, med, tr, running, smp), _ = jax.lax.scan(
-        body, init, None, length=max_crossings
-    )
-    return tr, smp
+    def cond(carry):
+        running, it = carry[4], carry[6]
+        return jnp.any(running) & (it < max_crossings)
+
+    init = (o, dist, medium_idx, jnp.ones((n, 3), jnp.float32), active, smp,
+            jnp.int32(0))
+    out = medium_m.bounded_while(cond, body, init, max_crossings, differentiable)
+    return out[3], out[5]
 
 
 # ---------------------------------------------------------------------------
@@ -166,57 +174,45 @@ def sample_beam_point(beam: _Beam, p, u):
     theta = theta_a + u * (theta_b - theta_a)
     s_rel = h * jnp.tan(theta)
     s = delta + s_rel
-    pdf = h / jnp.maximum((theta_b - theta_a) * (h * h + s_rel * s_rel), 1e-20)
+    pdf = h / jnp.maximum((theta_b - theta_a) * (h * h + s_rel * s_rel), 1e-12)
     y = beam.o + s[..., None] * beam.d
     to_p = p - y
     dist = jnp.maximum(length(to_p), 1e-6)
     return y, s, pdf, dist, to_p / dist[..., None]
 
 
-def beam_nee(scene, cfg, eps, beam: _Beam, p, medium_idx, smp, active):
-    """Incident quantity arriving at vertex p from the beam through one
-    sampled beam vertex. Returns (value (N,3), incoming_dir (N,3),
-    optical_len_to_p (N,), smp); the caller evaluates its local scatter
-    kernel toward incoming_dir.
-
-      P * Tr(o_b -> y) * sigma_s(y) * rho_y(w_b -> dir) * Tr(y -> p) /
-        (pdf(s) * dist^2)
-    """
-    n = p.shape[0]
-    active = active & beam.exists
-    u, smp = rng.next_1d(smp)
-    y, s, pdf_s, dist, d_yp = sample_beam_point(beam, p, u)
-
-    media = scene.media
+def build_beam_tau(scene, beam: _Beam, bricks, n: int = 128):
+    """Precomputed optical depth along the beam (midpoint quadrature, the
+    TPU analogue of the reference's Simpson integrateDensity,
+    heterogeneous.cpp:301): (n, 3) cumulative tau at bin centers. Evaluated
+    later by pure-VPU one-hot interpolation — no gathers in the hot loop."""
+    si = beam.s0 + (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * (beam.s1 - beam.s0)
+    pts = beam.o[None, :] + si[:, None] * beam.d[None, :]
     bmed = jnp.broadcast_to(beam.medium, (n,))
-    kind, sa, ss, _, scale = medium_m.params(media, bmed)
-    # sigma_s at y
-    st_col = sa + ss
+    kind, sa, ss, _, scale = medium_m.params(scene.media, bmed)
     dens = jnp.where(
-        kind == MED_HETEROGENEOUS,
-        medium_m.density_at(media, y) * scale,
-        jnp.ones((n,)),
+        kind == MED_HETEROGENEOUS, bricks.lookup(pts) * scale,
+        jnp.where(kind == MED_HOMOGENEOUS, 1.0, 0.0),
     )
-    sigma_s_y = ss * dens[..., None]
-    phase_val = phase_m.eval(media.phase, bmed, jnp.broadcast_to(beam.d, (n, 3)), d_yp)
+    st = (sa + ss) * dens[:, None]
+    ds_ = (beam.s1 - beam.s0) / n
+    dtau = st * ds_
+    return jnp.cumsum(dtau, axis=0) - 0.5 * dtau  # (n, 3)
 
-    # transmittance from beam origin to y (walks through the boundary)
-    o_b = jnp.broadcast_to(beam.o, (n, 3))
-    d_b = jnp.broadcast_to(beam.d, (n, 3))
-    tr_beam, smp = attenuated_visibility(
-        scene, eps, o_b, d_b, s, jnp.full((n,), -1, jnp.int32), smp, active
-    )
-    # transmittance y -> p
-    tr_conn, smp = attenuated_visibility(
-        scene, eps, y + d_yp * eps, d_yp, dist - 2 * eps, bmed, smp, active
-    )
-    value = (
-        beam.power * tr_beam * sigma_s_y * tr_conn
-        * (phase_val / jnp.maximum(pdf_s * dist * dist, 1e-20))[..., None]
-    )
-    value = jnp.where(active[..., None], value, 0.0)
-    opt_len = s + dist  # geometric = optical in non-refractive media
-    return value, -d_yp, opt_len, smp
+
+def beam_transmittance(beam: _Beam, tau_table, s):
+    """Tr(beam origin -> s) via one-hot interpolation of the tau table."""
+    n = tau_table.shape[0]
+    f = (s - beam.s0) / jnp.maximum(beam.s1 - beam.s0, 1e-9) * n - 0.5
+    f = jnp.clip(f, 0.0, n - 1.0)
+    i0 = jnp.floor(f).astype(jnp.int32)
+    t = (f - i0)[..., None]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    oh0 = (lanes == i0[..., None]).astype(jnp.float32)
+    oh1 = (lanes == jnp.minimum(i0 + 1, n - 1)[..., None]).astype(jnp.float32)
+    tau = (oh0 @ tau_table) * (1.0 - t) + (oh1 @ tau_table) * t
+    tau = jnp.where((s < beam.s0)[..., None], 0.0, tau)
+    return jnp.exp(-tau)
 
 
 # ---------------------------------------------------------------------------
@@ -234,16 +230,19 @@ class _State(NamedTuple):
     last_pdf: jnp.ndarray
     last_delta: jnp.ndarray
     medium: jnp.ndarray
+    log_p: jnp.ndarray
     iters: jnp.ndarray
     sampler: object
 
 
 def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
-       simple: bool = False):
+       simple: bool = False, differentiable: bool = False):
     n = o.shape[0]
     eps = common.scene_epsilon(scene)
     sink = common.new_sink(cfg, n, pixel)
     beam = get_beam(scene)
+    bricks = medium_m.DensityBricks(scene.media)  # one gather per pass
+    beam_tau = build_beam_tau(scene, beam, bricks) if cfg.has_beam else None
 
     state = _State(
         o=o, d=d,
@@ -256,6 +255,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         last_pdf=jnp.zeros((n,), jnp.float32),
         last_delta=jnp.ones((n,), bool),
         medium=jnp.broadcast_to(scene.camera_medium, (n,)).astype(jnp.int32),
+        log_p=jnp.zeros((n,), jnp.float32),
         iters=jnp.zeros((), jnp.int32),
         sampler=sampler,
     )
@@ -279,18 +279,22 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
 
         u_hom, smp = rng.next_1d(smp)
         uc_hom, smp = rng.next_1d(smp)
-        hs, ht, hw = medium_m.sample_distance_homogeneous(
+        hs, ht, hw, h_logp = medium_m.sample_distance_homogeneous(
             sa, ss, sw, t_far, u_hom, uc_hom
         )
         het = in_medium & (kind == MED_HETEROGENEOUS)
-        ws, wt, ww, wp, smp = medium_m.sample_distance_woodcock(
-            media, sa, ss, scale, s.o, s.d, t_far, smp, het
+        ws, wt, ww, wp, smp, w_logp = medium_m.sample_distance_woodcock(
+            media, sa, ss, scale, s.o, s.d, t_far, smp, het,
+            differentiable=differentiable, bricks=bricks,
         )
         is_hom = kind == MED_HOMOGENEOUS
         m_success = in_medium & jnp.where(is_hom, hs, ws)
         m_t = jnp.where(is_hom, ht, wt)
         m_weight = jnp.where(is_hom[..., None], hw, ww)
         m_weight = jnp.where(in_medium[..., None], m_weight, 1.0)
+        log_p = s.log_p + jnp.where(
+            in_medium, jnp.where(is_hom, h_logp, w_logp), 0.0
+        )
         throughput = s.throughput * m_weight
         m_p = s.o + m_t[..., None] * s.d
 
@@ -307,7 +311,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
             w_env = jnp.where(s.last_delta, 1.0, 0.0)
         sink_new = common.add_contribution(
             s.sink, cfg, throughput * env * w_env[..., None], s.plen, s.depth,
-            escaped,
+            escaped, log_p=log_p,
         )
 
         # ---------- surface tables ----------
@@ -325,7 +329,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         hide = cfg.hide_emitters & (s.depth == 1)
         sink_new = common.add_contribution(
             sink_new, cfg, throughput * le * w_hit[..., None], plen_here,
-            s.depth, hit_emitter & ~hide,
+            s.depth, hit_emitter & ~hide, log_p=log_p,
         )
 
         depth_ok = s.depth < cfg.max_depth
@@ -353,40 +357,89 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         srf_entering = dot(ds.d, hit.ng) < 0
         srf_med = jnp.where(srf_entering, m_in, m_ex)
         nee_med = jnp.where(scattered, s.medium, srf_med)
-        vis_needed = nee_active & (ds.pdf > 0) & jnp.any(f_vtx > 0, axis=-1)
-        tr_nee, smp = attenuated_visibility(
-            scene, eps, vtx_p + ds.d * eps, ds.d, ds.dist - 2 * eps,
-            nee_med, smp, vis_needed,
+        vis_needed = (
+            nee_active & (ds.pdf > 0) & jnp.any(f_vtx > 0, axis=-1)
+            & jnp.any(ds.value > 0, axis=-1)
         )
+
+        # ---- build ALL shadow segments for this bounce and walk them in ONE
+        # batched visibility call (emitter NEE + optionally the two beam-NEE
+        # segments). Sequential tracking loops dominate TPU time, so fusing
+        # the three queries cuts the per-bounce loop count 3x. ----
+        seg_o = [vtx_p + ds.d * eps]
+        seg_d = [ds.d]
+        seg_dist = [ds.dist - 2 * eps]
+        seg_med = [nee_med]
+        seg_act = [vis_needed]
+        if cfg.has_beam:
+            u_b, smp = rng.next_1d(smp)
+            y_b, s_b, pdf_sb, dist_b, d_yp = sample_beam_point(beam, vtx_p, u_b)
+            bmed = jnp.broadcast_to(beam.medium, (n,))
+            seg_o += [y_b + d_yp * eps]
+            seg_d += [d_yp]
+            seg_dist += [dist_b - 2 * eps]
+            seg_med += [bmed]
+            seg_act += [nee_active]
+        # dedicated decorrelated stream for the (variable-draw-count)
+        # visibility walk, keyed on the bounce counter; the main sampler's
+        # dimension layout stays deterministic
+        k = len(seg_o)
+        vis_smp = rng.Sampler(
+            lane=jnp.concatenate(
+                [smp.lane + jnp.uint32(i * 0x9E37) for i in range(k)]
+            ),
+            index=jnp.concatenate([smp.index] * k),
+            dim=jnp.zeros((k * n,), jnp.uint32),
+            seed=rng.hash_combine(smp.seed, jnp.uint32(0x51BB), s.iters),
+        )
+        tr_all, _ = attenuated_visibility(
+            scene, eps,
+            jnp.concatenate(seg_o), jnp.concatenate(seg_d),
+            jnp.concatenate(seg_dist), jnp.concatenate(seg_med),
+            vis_smp, jnp.concatenate(seg_act), differentiable=differentiable,
+            bricks=bricks,
+        )
+        tr_nee = tr_all[:n]
+
         w_nee = jnp.where(ds.delta, 1.0, mis_weight_power(ds.pdf, pdf_vtx))
         if simple:
             w_nee = jnp.ones_like(w_nee)
         contrib = (
             throughput * f_vtx * ds.value * tr_nee
-            * (w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
+            * (w_nee / jnp.maximum(ds.pdf, 1e-12))[..., None]
         )
         sink_new = common.add_contribution(
             sink_new, cfg, contrib, plen_here + ds.dist, s.depth + 1,
-            vis_needed,
+            vis_needed, log_p=log_p,
         )
 
-        # =========== beam NEE (collimated) ===========
-        def do_beam(sink_in, smp_in):
-            bval, bdir, blen, smp_b = beam_nee(
-                scene, cfg, eps, beam, vtx_p, nee_med, smp_in, nee_active
+        # =========== beam NEE (collimated; see module docstring) ===========
+        if cfg.has_beam:
+            tr_beam = beam_transmittance(beam, beam_tau, s_b)
+            tr_conn = tr_all[n:]
+            kind_b, sa_b, ss_b, _, scale_b = medium_m.params(media, bmed)
+            dens_b = jnp.where(
+                kind_b == MED_HETEROGENEOUS,
+                bricks.lookup(y_b) * scale_b,
+                jnp.ones((n,)),
             )
-            f_srf_b = bsdf_m.eval(
-                scene.bsdfs, b_idx, wi_srf, frame.to_local(-bdir)
+            sigma_s_y = ss_b * dens_b[..., None]
+            rho_y = phase_m.eval(
+                media.phase, bmed, jnp.broadcast_to(beam.d, (n, 3)), d_yp
             )
-            f_med_b = phase_m.eval(media.phase, s.medium, s.d, -bdir)[..., None]
+            bval = (
+                beam.power * tr_beam * sigma_s_y * tr_conn
+                * (rho_y / jnp.maximum(pdf_sb * dist_b * dist_b, 1e-12))[..., None]
+            )
+            # light arrives at the vertex propagating along d_yp (y -> p);
+            # the direction from the vertex toward the beam vertex is -d_yp
+            f_srf_b = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, frame.to_local(-d_yp))
+            f_med_b = phase_m.eval(media.phase, s.medium, s.d, -d_yp)[..., None]
             f_b = jnp.where(scattered[..., None], f_med_b, f_srf_b)
-            c = throughput * f_b * bval
-            sink_out = common.add_contribution(
-                sink_in, cfg, c, plen_here + blen, s.depth + 2, nee_active
+            sink_new = common.add_contribution(
+                sink_new, cfg, throughput * f_b * bval,
+                plen_here + s_b + dist_b, s.depth + 2, nee_active, log_p=log_p,
             )
-            return sink_out, smp_b
-
-        sink_new, smp = do_beam(sink_new, smp)
 
         # =========== direction sampling ===========
         u2p, smp = rng.next_2d(smp)
@@ -401,6 +454,9 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         new_d = jnp.where(scattered[..., None], ps.wo, wo_world_srf)
         scatter_w = jnp.where(
             scattered[..., None], ps.weight[..., None], bs.weight
+        )
+        log_p = log_p + jnp.where(
+            scattered, jnp.log(jnp.maximum(ps.pdf, 1e-30)), 0.0
         )
         new_pdf = jnp.where(scattered, ps.pdf, bs.pdf)
         new_delta = jnp.where(scattered, False, bs.delta)
@@ -448,9 +504,16 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
             last_pdf=jnp.where(active, new_pdf, s.last_pdf),
             last_delta=jnp.where(active, new_delta, s.last_delta),
             medium=jnp.where(active, new_medium, s.medium),
+            log_p=jnp.where(active, log_p, s.log_p),
             iters=s.iters + 1,
             sampler=smp,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        # reverse-mode AD cannot differentiate while_loop; run a fixed-trip
+        # scan with rematerialized bodies instead
+        ck_body = jax.checkpoint(lambda st, _: (body(st), None))
+        final, _ = jax.lax.scan(ck_body, state, None, length=max_iters)
+    else:
+        final = jax.lax.while_loop(cond, body, state)
     return final.sink, final.sampler

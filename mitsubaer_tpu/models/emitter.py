@@ -64,7 +64,7 @@ def _sample_area_position(scene: Scene, e_idx, u2, u_tri):
     b = warp.square_to_uniform_triangle(u2)
     p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
     area = jnp.take(em.area, e_idx)
-    pdf_area = 1.0 / jnp.maximum(area, 1e-20)
+    pdf_area = 1.0 / jnp.maximum(area, 1e-12)
     return p, n, pdf_area
 
 
@@ -88,7 +88,7 @@ def sample_direct(scene: Scene, ref_p, u2, u_sel) -> DirectSample:
     p_area, n_area, pdf_area = _sample_area_position(scene, e_idx, u2, u_tri)
     to_p = p_area - ref_p
     dist_a = length(to_p)
-    d_a = to_p / jnp.maximum(dist_a, 1e-20)[..., None]
+    d_a = to_p / jnp.maximum(dist_a, 1e-12)[..., None]
     cos_l = -dot(d_a, n_area)
     # area pdf -> solid angle: pdf_w = pdf_A * d^2 / cos
     pdf_a = jnp.where(
@@ -99,8 +99,8 @@ def sample_direct(scene: Scene, ref_p, u2, u_sel) -> DirectSample:
     # --- point: value = I / d^2, delta ---
     to_pt = pos - ref_p
     dist_p = length(to_pt)
-    d_p = to_pt / jnp.maximum(dist_p, 1e-20)[..., None]
-    val_p = radiance / jnp.maximum(dist_p * dist_p, 1e-20)[..., None]
+    d_p = to_pt / jnp.maximum(dist_p, 1e-12)[..., None]
+    val_p = radiance / jnp.maximum(dist_p * dist_p, 1e-12)[..., None]
 
     # --- spot: point + falloff (spot.cpp) ---
     cos_spot = dot(-d_p, edir)
@@ -175,7 +175,7 @@ def pdf_direct_hit(scene: Scene, emitter_id, ref_p, p, ng):
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
     cos_l = -dot(to_p, ng) / dist
     pdf = jnp.where(
-        cos_l > 1e-6, d2 / (jnp.maximum(cos_l, 1e-6) * jnp.maximum(area, 1e-20)), 0.0
+        cos_l > 1e-6, d2 / (jnp.maximum(cos_l, 1e-6) * jnp.maximum(area, 1e-12)), 0.0
     )
     return pdf / ne
 

@@ -32,6 +32,17 @@ from ..scene.types import MED_HETEROGENEOUS, MED_HOMOGENEOUS, Media
 _INF = jnp.float32(3.0e38)
 
 
+def bounded_while(cond, body, state, max_steps: int, differentiable: bool):
+    """while_loop for forward rendering; fixed-trip scan (reverse-AD capable,
+    rematerialized) when differentiating. Bodies must self-mask on their
+    `running` flags so extra scan iterations are no-ops."""
+    if differentiable:
+        ck = jax.checkpoint(lambda st, _: (body(st), None))
+        out, _ = jax.lax.scan(ck, state, None, length=max_steps)
+        return out
+    return jax.lax.while_loop(cond, body, state)
+
+
 class MediumSample(NamedTuple):
     success: jnp.ndarray    # (N,) scattered inside the medium before t_max
     t: jnp.ndarray          # (N,) sampled distance (min(t_sample, t_max))
@@ -61,6 +72,98 @@ def density_at(media: Media, p):
     return spline.trilinear(d, media.density.aabb_min, media.density.aabb_max, p)
 
 
+# ---------------------------------------------------------------------------
+# Bricked density access.
+#
+# XLA's TPU gather runs at a fixed per-ROW rate regardless of row width, so
+# the 8 scattered taps of a trilinear lookup cost 8x what one 128-float
+# row-gather does. We therefore repack the density grid into apron-padded
+# 8x4x4 bricks (x-fastest, 128 floats = one gather row): any trilinear
+# neighborhood whose base cell lies in the brick's 7x3x3 usable cells is
+# contained in ONE row. In-brick taps are then pure VPU one-hot reductions.
+# This is the TPU analogue of the reference's cache-friendly volume bricking
+# (volcache.cpp) — driven by gather economics instead of CPU caches.
+# ---------------------------------------------------------------------------
+_BX, _BY, _BZ = 8, 4, 4          # brick payload (x, y, z)
+_UX, _UY, _UZ = 7, 3, 3          # usable cells per brick (payload - 1 apron)
+
+
+def build_brick_map(nz: int, ny: int, nx: int):
+    """Host-side: flat voxel indices for each brick row.
+    Returns int32 (nbz, nby, nbx, 128)."""
+    import numpy as np
+
+    ncx, ncy, ncz = max(nx - 1, 1), max(ny - 1, 1), max(nz - 1, 1)
+    nbx = (ncx + _UX - 1) // _UX
+    nby = (ncy + _UY - 1) // _UY
+    nbz = (ncz + _UZ - 1) // _UZ
+    bz, by, bx = np.meshgrid(np.arange(nbz), np.arange(nby), np.arange(nbx),
+                             indexing="ij")
+    lz, ly, lx = np.meshgrid(np.arange(_BZ), np.arange(_BY), np.arange(_BX),
+                             indexing="ij")
+    gz = np.minimum(bz[..., None, None, None] * _UZ + lz, nz - 1)
+    gy = np.minimum(by[..., None, None, None] * _UY + ly, ny - 1)
+    gx = np.minimum(bx[..., None, None, None] * _UX + lx, nx - 1)
+    flat = (gz * ny + gy) * nx + gx
+    return flat.reshape(nbz, nby, nbx, _BZ * _BY * _BX).astype(np.int32)
+
+
+class DensityBricks:
+    """Per-render-pass cache: bricks gathered from the (possibly
+    gradient-attached) density grid."""
+
+    def __init__(self, media: Media):
+        d = media.density.data
+        if d.ndim == 4:
+            d = d[..., 0]
+        self.res = d.shape  # (nz, ny, nx)
+        self.bricks = jnp.take(
+            d.reshape(-1), media.brick_map.reshape(-1), axis=0
+        ).reshape(-1, _BZ * _BY * _BX)  # (NB, 128)
+        self.nb = media.brick_map.shape[:3]  # (nbz, nby, nbx)
+        self.aabb_min = media.density.aabb_min
+        self.aabb_max = media.density.aabb_max
+
+    def lookup(self, p):
+        """Trilinear density at world points p (N, 3): ONE row-gather + VPU."""
+        nz, ny, nx = self.res
+        nbz, nby, nbx = self.nb
+        res = jnp.array([nx, ny, nz], jnp.float32)
+        extent = self.aabb_max - self.aabb_min
+        h = extent / jnp.maximum(res - 1.0, 1.0)
+        x = (p - self.aabb_min) / h
+        inside = jnp.all((x >= 0.0) & (x <= res - 1.0), axis=-1)
+        x = jnp.clip(x, 0.0, res - 1.0)
+        cell = jnp.clip(jnp.floor(x), 0.0, jnp.maximum(res - 2.0, 0.0)).astype(jnp.int32)
+        t = x - cell
+        cx, cy, cz = cell[..., 0], cell[..., 1], cell[..., 2]
+        bx = jnp.minimum(cx // _UX, nbx - 1)
+        by = jnp.minimum(cy // _UY, nby - 1)
+        bz = jnp.minimum(cz // _UZ, nbz - 1)
+        lx = cx - bx * _UX
+        ly = cy - by * _UY
+        lz = cz - bz * _UZ
+        brick = jnp.take(self.bricks, (bz * nby + by) * nbx + bx, axis=0)  # (N,128)
+
+        # single separable-weight pass: build the (N, 128) trilinear weight
+        # mask as a product of per-axis 2-tap masks, one fused VPU sweep
+        tx = t[..., 0:1]
+        ty = t[..., 1:2]
+        tz = t[..., 2:3]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _BZ * _BY * _BX), 1)
+        lane_x = lane % _BX
+        lane_y = (lane // _BX) % _BY
+        lane_z = lane // (_BX * _BY)
+        wx = jnp.where(lane_x == lx[..., None], 1.0 - tx,
+                       jnp.where(lane_x == lx[..., None] + 1, tx, 0.0))
+        wy = jnp.where(lane_y == ly[..., None], 1.0 - ty,
+                       jnp.where(lane_y == ly[..., None] + 1, ty, 0.0))
+        wz = jnp.where(lane_z == lz[..., None], 1.0 - tz,
+                       jnp.where(lane_z == lz[..., None] + 1, tz, 0.0))
+        val = jnp.sum(wx * wy * wz * brick, axis=-1)
+        return jnp.where(inside, val, 0.0)
+
+
 def sigma_t_spectral(media: Media, kind, sigma_a, sigma_s, scale, p):
     """(N, 3) sigma_t at p for homogeneous or heterogeneous media."""
     st_h = sigma_a + sigma_s
@@ -82,37 +185,42 @@ def _homog_pdfs(sigma_t, dist):
 
 
 def sample_distance_homogeneous(sigma_a, sigma_s, sampling_weight, t_max, u, uc):
-    """Returns MediumSample fields sans p (filled by caller).
+    """Returns (success, dist, weight, log_pdf); p is filled by the caller.
 
-    u: channel+distance uniform; uc: medium-vs-surface gate uniform."""
+    u: channel+distance uniform; uc: medium-vs-surface gate uniform.
+
+    Differentiability: the sampled distance is DETACHED (stop_gradient) while
+    the weight keeps sigma attached — the pathwise df/p part of the gradient.
+    log_pdf is the attached log-density of this sampling decision evaluated
+    at the detached sample; accumulating stop(value) * d(log_pdf) restores
+    the score term, making d/dsigma unbiased (see diff/render.py)."""
     sigma_t = sigma_a + sigma_s
     nch = sigma_t.shape[-1]
     w = sampling_weight
 
     in_medium = uc < w
     u_resc = jnp.where(in_medium, uc / jnp.maximum(w, 1e-9), 0.0)
-    # balance: pick a channel uniformly using fresh u, exponential in it
+    # balance: pick a channel uniformly, exponential in that channel's sigma_t
     ch = jnp.clip((u * nch).astype(jnp.int32), 0, nch - 1)
-    u_dist = jnp.minimum(u * nch - ch, 0.9999994)
     dens = jnp.take_along_axis(sigma_t, ch[..., None], axis=-1)[..., 0]
-    dens = jnp.maximum(dens, 1e-20)
+    dens = jax.lax.stop_gradient(jnp.maximum(dens, 1e-20))
     t_sample = -jnp.log1p(-u_resc) / dens
     t_sample = jnp.where(in_medium, t_sample, _INF)
 
     success = t_sample < t_max
-    dist = jnp.minimum(t_sample, t_max)
+    dist = jax.lax.stop_gradient(jnp.minimum(t_sample, t_max))
     pdf_succ, pdf_fail = _homog_pdfs(sigma_t, dist)
     tr = jnp.exp(-sigma_t * dist[..., None])
     pdf_succ = pdf_succ * w
     pdf_fail = w * pdf_fail + (1.0 - w)
 
-    w_succ = sigma_s * tr / jnp.maximum(pdf_succ, 1e-30)[..., None]
-    w_fail = tr / jnp.maximum(pdf_fail, 1e-30)[..., None]
+    w_succ = sigma_s * tr / jnp.maximum(pdf_succ, 1e-12)[..., None]
+    w_fail = tr / jnp.maximum(pdf_fail, 1e-12)[..., None]
     weight = jnp.where(success[..., None], w_succ, w_fail)
-    # u_dist reserved for strategies that need a second uniform (kept for
-    # bit-compatible stream layout across strategies)
-    del u_dist
-    return success, dist, weight
+    log_pdf = jnp.log(
+        jnp.maximum(jnp.where(success, pdf_succ, pdf_fail), 1e-30)
+    )
+    return success, dist, weight, log_pdf
 
 
 def eval_transmittance_homogeneous(sigma_a, sigma_s, dist):
@@ -123,7 +231,8 @@ def eval_transmittance_homogeneous(sigma_a, sigma_s, dist):
 # Heterogeneous: Woodcock tracking + ratio-tracking transmittance
 # ---------------------------------------------------------------------------
 def sample_distance_woodcock(media: Media, sigma_a, sigma_s, scale, o, d,
-                             t_max, smp, active, max_steps: int = 4096):
+                             t_max, smp, active, max_steps: int = 4096,
+                             differentiable: bool = False, bricks=None):
     """Delta tracking along (o, d) up to t_max against the scene majorant.
 
     Spectral handling mirrors the reference's effectively-monochromatic
@@ -132,58 +241,84 @@ def sample_distance_woodcock(media: Media, sigma_a, sigma_s, scale, o, d,
     sigma_s(p)/sigma_t_mean(p) per channel on success (albedo), 1 on failure.
     """
     n = o.shape[0]
+    if bricks is None:
+        bricks = DensityBricks(media)
     st_color = sigma_a + sigma_s
     st_mean = jnp.mean(st_color, axis=-1)
-    majorant = jnp.maximum(media.majorant * jnp.max(st_color, axis=-1), 1e-20)
+    majorant = jax.lax.stop_gradient(
+        jnp.maximum(media.majorant * jnp.max(st_color, axis=-1), 1e-6)
+    )
+
+    UNROLL = 4  # collision tests per loop iteration: amortizes the TPU
+    #               while_loop per-iteration overhead over 8 VPU steps
 
     def cond(state):
-        _, _, running, _, it = state
+        running = state[2]
+        it = state[6]
         return jnp.any(running) & (it < max_steps)
 
     def body(state):
-        t, hit, running, s, it = state
-        u1, s = rng.next_1d(s)
-        u2, s = rng.next_1d(s)
-        t_new = t - jnp.log1p(-u1) / majorant
-        escaped = t_new >= t_max
-        p = o + t_new[..., None] * d
-        dens = density_at(media, p) * scale
-        sig = dens * st_mean
-        real = u2 < sig / majorant
-        hit_new = running & ~escaped & real
-        running_new = running & ~escaped & ~real
-        return (
-            jnp.where(running, t_new, t),
-            hit | hit_new,
-            running_new,
-            s,
-            it + 1,
-        )
+        t, hit, running, s, w, log_p, it = state
+        for _ in range(UNROLL):
+            u1, s = rng.next_1d(s)
+            u2, s = rng.next_1d(s)
+            t_new = t - jnp.log1p(-u1) / majorant
+            escaped = t_new >= t_max
+            p = o + jax.lax.stop_gradient(t_new)[..., None] * d
+            dens = bricks.lookup(p) * scale
+            p_real = dens * st_mean / majorant  # mean-channel collision test
+            real = u2 < jax.lax.stop_gradient(p_real)
+            hit_new = running & ~escaped & real
+            null_col = running & ~escaped & ~real
+            # spectral tracking weights (f/p per channel); exponential
+            # inter-collision factors cancel against the majorant pdf:
+            #   real: w_c *= sigma_s_c(x) / sigma_t_mean(x) (density cancels)
+            #   null: w_c *= (1 - sigma_t_c(x)/maj) / (1 - p_real)
+            w_real = sigma_s / jnp.maximum(st_mean, 1e-12)[..., None]
+            w_null = (1.0 - dens[..., None] * st_color / majorant[..., None]) / (
+                jnp.maximum(1.0 - p_real, 1e-12)[..., None]
+            )
+            w = jnp.where(hit_new[..., None], w * w_real, w)
+            w = jnp.where(null_col[..., None], w * w_null, w)
+            # attached log-density of the discrete decisions (score term)
+            log_p = log_p + jnp.where(
+                hit_new, jnp.log(jnp.maximum(p_real, 1e-20)), 0.0
+            ) + jnp.where(null_col, jnp.log(jnp.maximum(1.0 - p_real, 1e-20)), 0.0)
+            t = jnp.where(running, t_new, t)
+            hit = hit | hit_new
+            running = null_col
+        return (t, hit, running, s, w, log_p, it + 1)
 
     t0 = jnp.zeros((n,), jnp.float32)
-    state = (t0, jnp.zeros((n,), bool), active, smp, jnp.int32(0))
-    t, hit, _, smp, _ = jax.lax.while_loop(cond, body, state)
+    state = (t0, jnp.zeros((n,), bool), active, smp,
+             jnp.ones((n, 3), jnp.float32), jnp.zeros((n,), jnp.float32),
+             jnp.int32(0))
+    if differentiable:
+        max_steps = min(max_steps, 64)
+    t, hit, _, smp, weight, log_p, _ = bounded_while(
+        cond, body, state, (max_steps + UNROLL - 1) // UNROLL, differentiable)
 
+    t = jax.lax.stop_gradient(t)
     p = o + t[..., None] * d
-    # success weight = sigma_s/sigma_t per channel at the collision point
-    # (density cancels); failure weight = 1 (delta tracking is its own pdf)
-    alb = sigma_s / jnp.maximum(st_color, 1e-20)
-    # correct for spectral extinction differing from the mean channel used
-    # for collision decisions: w_c = sigma_s_c / sigma_t_mean would bias;
-    # using per-channel albedo is exact for gray sigma_t and standard
-    # practice otherwise (hero-wavelength refinement comes later).
-    weight = jnp.where(hit[..., None], alb, jnp.ones_like(alb))
+    # failure (escape): the accumulated null products alone estimate
+    # Tr_c / Tr_mean-implied, exactly the f/p of delta-tracking escape.
     dist = jnp.where(hit, t, t_max)
-    return hit, dist, weight, p, smp
+    return hit, dist, weight, p, smp, log_p
 
 
 def transmittance_ratio_tracking(media: Media, sigma_a, sigma_s, scale, o, d,
-                                 t_max, smp, active, max_steps: int = 4096):
+                                 t_max, smp, active, max_steps: int = 4096,
+                                 differentiable: bool = False, bricks=None):
     """Unbiased ratio-tracking transmittance estimate along a shadow segment."""
     n = o.shape[0]
+    if bricks is None:
+        bricks = DensityBricks(media)
     st_color = sigma_a + sigma_s
-    st_mean = jnp.mean(st_color, axis=-1)
-    majorant = jnp.maximum(media.majorant * jnp.max(st_color, axis=-1), 1e-20)
+    majorant = jax.lax.stop_gradient(
+        jnp.maximum(media.majorant * jnp.max(st_color, axis=-1), 1e-6)
+    )
+
+    UNROLL = 4  # collision tests per loop iteration (TPU loop overhead)
 
     def cond(state):
         _, _, running, _, it = state
@@ -191,24 +326,24 @@ def transmittance_ratio_tracking(media: Media, sigma_a, sigma_s, scale, o, d,
 
     def body(state):
         t, tr, running, s, it = state
-        u1, s = rng.next_1d(s)
-        t_new = t - jnp.log1p(-u1) / majorant
-        escaped = t_new >= t_max
-        p = o + t_new[..., None] * d
-        dens = density_at(media, p) * scale
-        factor = 1.0 - dens[..., None] * st_color / majorant[..., None]
-        tr_new = jnp.where((running & ~escaped)[..., None], tr * factor, tr)
-        return (
-            jnp.where(running, t_new, t),
-            tr_new,
-            running & ~escaped,
-            s,
-            it + 1,
-        )
+        for _ in range(UNROLL):
+            u1, s = rng.next_1d(s)
+            t_new = t - jnp.log1p(-u1) / majorant
+            escaped = t_new >= t_max
+            p = o + t_new[..., None] * d
+            dens = bricks.lookup(p) * scale
+            factor = 1.0 - dens[..., None] * st_color / majorant[..., None]
+            tr = jnp.where((running & ~escaped)[..., None], tr * factor, tr)
+            t = jnp.where(running, t_new, t)
+            running = running & ~escaped
+        return (t, tr, running, s, it + 1)
 
     state = (
         jnp.zeros((n,), jnp.float32), jnp.ones((n, 3), jnp.float32),
         active, smp, jnp.int32(0),
     )
-    _, tr, _, smp, _ = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        max_steps = min(max_steps, 64)
+    _, tr, _, smp, _ = bounded_while(
+        cond, body, state, (max_steps + UNROLL - 1) // UNROLL, differentiable)
     return jnp.maximum(tr, 0.0), smp

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import warp
@@ -74,5 +75,10 @@ def sample(ph: PhaseTable, idx, wi, u2) -> PhaseSample:
 
     wo = jnp.where((kind == PH_HG)[..., None], wo_hg, wo_iso)
     wo = jnp.where((kind == PH_RAYLEIGH)[..., None], wo_ray, wo)
+    wo = jax.lax.stop_gradient(wo)
     p = _eval_kinds(kind, g, dot(wi, wo))
-    return PhaseSample(wo=wo, pdf=p, weight=jnp.ones_like(p))
+    # weight == 1 in value; writing it as eval/stop(pdf) keeps the pathwise
+    # derivative w.r.t. phase parameters (g) attached; the matching score
+    # term is restored via the log-pdf surrogate in the integrator.
+    weight = p / jnp.maximum(jax.lax.stop_gradient(p), 1e-12)
+    return PhaseSample(wo=wo, pdf=p, weight=weight)

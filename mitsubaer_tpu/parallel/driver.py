@@ -1,0 +1,192 @@
+"""Multi-chip / multi-host rendering and training via shard_map over a device
+mesh.
+
+Replaces the reference's distributed render farm (Scheduler + RemoteWorker
+over TCP/SSH, sched.cpp / sched_remote.cpp / mtssrv.cpp): instead of
+serialized WorkUnits there is ONE jitted SPMD program — ray wavefronts are
+sharded over the mesh, every device renders its shard, and the tiny film /
+voxel-gradient reductions ride ICI collectives (psum). Resources (scene
+constants, voxel grids) are replicated, the analogue of the reference's
+per-node resource broadcast (sched_remote.cpp registerResource).
+
+Mesh axes:
+  data — samples-per-pixel shards (the reference's per-worker sample split)
+  tile — image row-block shards   (the reference's 32x32 block decomposition)
+
+Both multiply to pure ray-parallelism; the film psum (data axis) and gradient
+psum (both axes) are the only communication, overlapping XLA's backward
+schedule. Multi-host: jax.distributed.initialize() then the same code — the
+mesh simply spans hosts (DCN between hosts, ICI within).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import rng
+from ..diff import render as diff_render
+from ..integrators import render as render_m
+from ..integrators import volpath as volpath_m
+from ..models import film as film_m
+from ..models import sensor as sensor_m
+from ..scene.types import RenderConfig, Scene
+
+
+def make_mesh(n_devices: Optional[int] = None, tile: int = 1) -> Mesh:
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    n = len(devs)
+    assert n % tile == 0, (n, tile)
+    arr = np.array(devs).reshape(n // tile, tile)
+    return Mesh(arr, axis_names=("data", "tile"))
+
+
+def init_distributed():
+    """Multi-host bring-up (replaces mtssrv + SSH/TCP stream bootstrap)."""
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-process
+
+
+def _pass_shard(scene, cfg: RenderConfig, sppc: int, rows: int, seed, pass_idx):
+    """Render `sppc` samples for a row-block of `rows` rows starting at a
+    row offset derived from this device's 'tile' coordinate. Returns a local
+    film accumulator block (rows, W, C+1)."""
+    W = cfg.width
+    tile_idx = jax.lax.axis_index("tile")
+    data_idx = jax.lax.axis_index("data")
+    row0 = tile_idx * rows
+    npix = rows * W
+    local_pix = jnp.arange(npix, dtype=jnp.uint32)
+    pixel = jnp.tile(local_pix, (sppc,)) + row0.astype(jnp.uint32) * W
+    n_data = jax.lax.axis_size("data")
+    sample_index = jnp.repeat(
+        (pass_idx * n_data + data_idx) * sppc + jnp.arange(sppc, dtype=jnp.uint32),
+        npix,
+    )
+    smp = rng.make_sampler(seed, pixel, sample_index,
+                           mode=render_m._sampler_mode(cfg.sampler))
+    jitter, smp = rng.next_2d(smp)
+    px = (pixel % W).astype(jnp.float32) + jitter[:, 0]
+    py = (pixel // W).astype(jnp.float32) + jitter[:, 1]
+    rays = sensor_m.sample_rays(scene.sensor, px, py, W, cfg.height)
+
+    integrator = render_m.get_integrator(cfg.integrator)
+    sink, _ = integrator(scene, cfg, rays.o, rays.d, smp, pixel=pixel)
+    values = sink.steady.reshape(sppc, rows, W, 3)
+    jit_r = jitter.reshape(sppc, rows, W, 2)
+    local_cfg = cfg._replace(height=rows)
+    accum = film_m.new_accumulator(local_cfg)
+    accum = film_m.splat(accum, values, jit_r, cfg.filter)
+    # sum partial films over the data (spp) axis; the tile axis keeps its
+    # own row block — this is the reference's film merge in processResult
+    return jax.lax.psum(accum, "data")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sppc", "mesh_shape"))
+def _render_sharded_jit(scene, cfg: RenderConfig, sppc: int, mesh_shape, seed, pass_idx):
+    n_data, n_tile = mesh_shape
+    devs = np.array(jax.devices()[: n_data * n_tile]).reshape(n_data, n_tile)
+    mesh = Mesh(devs, axis_names=("data", "tile"))
+    rows = cfg.height // n_tile
+    f = jax.shard_map(
+        functools.partial(_pass_shard, cfg=cfg, sppc=sppc, rows=rows),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P("tile", None, None),
+        check_vma=False,
+    )
+    return f(scene, seed, pass_idx)
+
+
+def render_sharded(scene: Scene, cfg: RenderConfig, n_devices: Optional[int] = None,
+                   tile: int = 1, seed: int = 0, spp_per_pass: Optional[int] = None):
+    """Distributed render: spp sharded over 'data', image rows over 'tile'.
+    Returns the developed image. Estimator-identical to the single-device
+    renderer up to sample assignment."""
+    mesh = make_mesh(n_devices, tile)
+    n_data, n_tile = mesh.devices.shape
+    assert cfg.height % n_tile == 0
+    total = cfg.spp
+    per_dev = max(1, total // n_data)
+    sppc = spp_per_pass or per_dev
+    accum = None
+    done = 0
+    pass_idx = 0
+    while done < per_dev:
+        c = min(sppc, per_dev - done)
+        a = _render_sharded_jit(
+            scene, cfg, c, (n_data, n_tile),
+            jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32),
+        )
+        accum = a if accum is None else accum + a
+        done += c
+        pass_idx += 1
+    return film_m.develop(accum)
+
+
+# ---------------------------------------------------------------------------
+# Distributed inverse-rendering training step
+# ---------------------------------------------------------------------------
+def _loss_shard(scene, params, target, cfg: RenderConfig, sppc: int, rows: int, seed):
+    """Per-device loss over its (tile-rows x data-spp) shard of samples."""
+    W = cfg.width
+    tile_idx = jax.lax.axis_index("tile")
+    data_idx = jax.lax.axis_index("data")
+    row0 = tile_idx * rows
+    npix = rows * W
+    local_pix = jnp.arange(npix, dtype=jnp.uint32)
+    pixel = jnp.tile(local_pix, (sppc,)) + row0.astype(jnp.uint32) * W
+    sample_index = jnp.repeat(
+        data_idx.astype(jnp.uint32) * sppc + jnp.arange(sppc, dtype=jnp.uint32), npix
+    )
+    scene = diff_render.put_params(scene, params)
+    smp = rng.make_sampler(seed, pixel, sample_index)
+    jitter, smp = rng.next_2d(smp)
+    px = (pixel % W).astype(jnp.float32) + jitter[:, 0]
+    py = (pixel // W).astype(jnp.float32) + jitter[:, 1]
+    rays = sensor_m.sample_rays(scene.sensor, px, py, W, cfg.height)
+    sink, _ = volpath_m.li(scene, cfg, rays.o, rays.d, smp, pixel=pixel,
+                           differentiable=True)
+    img = sink.steady.reshape(sppc, rows, W, 3)
+    img = jax.lax.pmean(img.mean(axis=0), "data")
+    tgt = jax.lax.dynamic_slice_in_dim(target, row0, rows, axis=0)
+    # mean over the full image = psum of per-tile partial means
+    return jax.lax.psum(jnp.sum((img - tgt) ** 2), "tile") / (
+        cfg.height * W * 3
+    )
+
+
+def make_train_step(cfg: RenderConfig, optimizer, mesh: Mesh, sppc: int = 4):
+    """Returns a jitted SPMD training step:
+    (scene, opt_state, params, target, seed) -> (params', opt_state', loss).
+    Gradients are averaged over the whole mesh (psum inside the loss), the
+    optimizer update runs replicated — the all-reduce overlaps the backward
+    sweep in XLA's schedule."""
+    n_data, n_tile = mesh.devices.shape
+    rows = cfg.height // n_tile
+
+    def step(scene, opt_state, params, target, seed):
+        def loss_of(p):
+            f = jax.shard_map(
+                lambda sc, pp, tg: _loss_shard(sc, pp, tg, cfg, sppc, rows, seed),
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+            return f(scene, p, target)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)

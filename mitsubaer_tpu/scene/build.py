@@ -329,6 +329,7 @@ class SceneBuilder:
         g1 = T.GridData(jnp.zeros((1, 1, 1), jnp.float32), jnp.zeros(3), jnp.ones(3))
         density = g1
         albedo = g1
+        brick_map = np.zeros((1, 1, 1, 128), np.int32)
         majorant = 0.0
         rif_coeff, rif_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
         sdf_coeff, sdf_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
@@ -346,6 +347,10 @@ class SceneBuilder:
                         jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
                     )
                 majorant = float(np.max(m.density) * m.scale)
+                from ..models.medium import build_brick_map
+
+                nz, ny, nx = m.density.shape[:3]
+                brick_map = build_brick_map(nz, ny, nx)
             if m.kind == T.MED_REFRACTIVE and m.rif is not None:
                 rif_coeff = spline.prefilter(m.rif)
                 rif_aabb = (np.asarray(m.rif_aabb[0]), np.asarray(m.rif_aabb[1]))
@@ -368,6 +373,7 @@ class SceneBuilder:
             scale=jnp.asarray(np.array([m.scale for m in self._media], np.float32)),
             density=density,
             albedo=albedo,
+            brick_map=jnp.asarray(brick_map),
             majorant=jnp.asarray(majorant, jnp.float32),
             rif_coeff=jnp.asarray(rif_coeff),
             rif_min=jnp.asarray(rif_aabb[0], jnp.float32),

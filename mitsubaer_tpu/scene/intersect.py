@@ -131,7 +131,9 @@ def intersect(geo: Geometry, o, d, t_min, t_max) -> Hit:
     t = jnp.where(use_sph, st, jnp.where(tok, tt, INF))
     valid = tok | sok
     prim = jnp.where(use_sph, sprim | SPHERE_FLAG, tprim)
-    p = o + t[:, None] * d
+    # keep p finite on misses (INF * 0 = NaN poisons reverse-mode AD even on
+    # masked lanes): misses report p = o
+    p = o + jnp.where(valid, t, 0.0)[:, None] * d
 
     Tn = geo.v0.shape[0]
     tri_ng = jnp.take(geo.ng, jnp.clip(tprim, 0, Tn - 1), axis=0)

@@ -148,6 +148,7 @@ def volumetric_box(res: int = 256, spp: int = 16, max_depth: int = 12,
     )
     b.config = b.config._replace(
         width=res, height=res, spp=spp, max_depth=max_depth,
-        integrator=integrator, **cfg_kw
+        integrator=integrator, has_beam=(emitter_kind == "collimated"),
+        **cfg_kw
     )
     return b.build(), b.config

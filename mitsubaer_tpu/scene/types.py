@@ -139,6 +139,8 @@ class Media(NamedTuple):
     # heterogeneous: sigma_t = scale * density(p) * sigma_t_color
     density: GridData       # shared density grid (medium with kind HETEROGENEOUS)
     albedo: GridData        # shared albedo grid (3-channel or broadcast)
+    brick_map: jnp.ndarray  # (nbz, nby, nbx, 128) int32 flat voxel ids per
+    #   apron-padded 8x4x4 brick (see models/medium.py bricked access)
     majorant: jnp.ndarray   # () max sigma_t over grid for Woodcock tracking
     # refractive: RIF spline field + SDF for inside tests
     rif_coeff: jnp.ndarray   # (nz, ny, nx) B-spline coefficients
@@ -193,6 +195,9 @@ class RenderConfig(NamedTuple):
     hide_emitters: bool = False
     strict_normals: bool = False
     sample_direct: bool = True   # bdpt sampleDirect analogue
+    has_beam: bool = False       # static: scene contains a collimated emitter
+    #   (set by the scene builder; compiles the beam-NEE machinery only when
+    #   needed)
 
     @property
     def n_frames(self) -> int:
@@ -213,6 +218,7 @@ def empty_media() -> Media:
         scale=jnp.ones((1,), jnp.float32),
         density=g1,
         albedo=g1,
+        brick_map=jnp.zeros((1, 1, 1, 128), jnp.int32),
         majorant=jnp.zeros((), jnp.float32),
         rif_coeff=jnp.ones((1, 1, 1), jnp.float32),
         rif_min=jnp.zeros(3),

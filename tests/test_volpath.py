@@ -124,7 +124,7 @@ class TestDistanceSampling:
         ss = jnp.tile(jnp.array([[1.0, 2.0, 3.0]]), (n, 1)) * 0.1
         w = jnp.full((n,), 0.8)
         t_max = jnp.full((n,), 2.0)
-        succ, dist, weight = medium_m.sample_distance_homogeneous(
+        succ, dist, weight, _logp = medium_m.sample_distance_homogeneous(
             sa, ss, w, t_max, jnp.asarray(u), jnp.asarray(uc)
         )
         succ = np.asarray(succ)
@@ -152,7 +152,7 @@ class TestDistanceSampling:
         kind, sa, ss, sw, scale = medium_m.params(
             scene.media, jnp.zeros((n,), jnp.int32)
         )
-        hit, dist, wgt, p, smp = medium_m.sample_distance_woodcock(
+        hit, dist, wgt, p, smp, _lp = medium_m.sample_distance_woodcock(
             scene.media, sa, ss, scale, o, d, jnp.full((n,), 2.0), smp,
             jnp.ones((n,), bool),
         )
