@@ -55,8 +55,12 @@ class _Medium:
     density_aabb: Optional[tuple] = None
     albedo_grid: Optional[np.ndarray] = None   # (nz, ny, nx, 3)
     # refractive
-    rif: Optional[np.ndarray] = None           # (nz, ny, nx) samples
+    rif_kind: int = 0                          # eikonal.RIF_* (0 = const)
+    rif_params: tuple = (1.0, 0, 0, 0, 0, 0, 0, 0)
+    rif: Optional[np.ndarray] = None           # (nz, ny, nx) samples (spline)
     rif_aabb: Optional[tuple] = None
+    sdf_kind: int = 0                          # eikonal.SDF_*
+    sdf_params: tuple = (0,) * 8
     sdf: Optional[np.ndarray] = None
     sdf_aabb: Optional[tuple] = None
 
@@ -334,6 +338,8 @@ class SceneBuilder:
         rif_coeff, rif_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
         sdf_coeff, sdf_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
         sdf_error = 0.0
+        rif_kind, rif_params = 0, (1.0, 0, 0, 0, 0, 0, 0, 0)
+        sdf_kind, sdf_params = 0, (0.0,) * 8
         for m in self._media:
             if m.kind == T.MED_HETEROGENEOUS and m.density is not None:
                 lo, hi = m.density_aabb
@@ -351,9 +357,12 @@ class SceneBuilder:
 
                 nz, ny, nx = m.density.shape[:3]
                 brick_map = build_brick_map(nz, ny, nx)
-            if m.kind == T.MED_REFRACTIVE and m.rif is not None:
-                rif_coeff = spline.prefilter(m.rif)
-                rif_aabb = (np.asarray(m.rif_aabb[0]), np.asarray(m.rif_aabb[1]))
+            if m.kind == T.MED_REFRACTIVE:
+                rif_kind, rif_params = m.rif_kind, tuple(m.rif_params) + (0,) * (8 - len(m.rif_params))
+                sdf_kind, sdf_params = m.sdf_kind, tuple(m.sdf_params) + (0,) * (8 - len(m.sdf_params))
+                if m.rif is not None:
+                    rif_coeff = spline.prefilter(m.rif)
+                    rif_aabb = (np.asarray(m.rif_aabb[0]), np.asarray(m.rif_aabb[1]))
                 if m.sdf is not None:
                     sdf_coeff = spline.prefilter(m.sdf)
                     sdf_aabb = (np.asarray(m.sdf_aabb[0]), np.asarray(m.sdf_aabb[1]))
@@ -375,9 +384,13 @@ class SceneBuilder:
             albedo=albedo,
             brick_map=jnp.asarray(brick_map),
             majorant=jnp.asarray(majorant, jnp.float32),
+            rif_kind=jnp.asarray(rif_kind, jnp.int32),
+            rif_params=jnp.asarray(rif_params, jnp.float32),
             rif_coeff=jnp.asarray(rif_coeff),
             rif_min=jnp.asarray(rif_aabb[0], jnp.float32),
             rif_max=jnp.asarray(rif_aabb[1], jnp.float32),
+            sdf_kind=jnp.asarray(sdf_kind, jnp.int32),
+            sdf_params=jnp.asarray(sdf_params, jnp.float32),
             sdf_coeff=jnp.asarray(sdf_coeff),
             sdf_min=jnp.asarray(sdf_aabb[0], jnp.float32),
             sdf_max=jnp.asarray(sdf_aabb[1], jnp.float32),

@@ -142,10 +142,14 @@ class Media(NamedTuple):
     brick_map: jnp.ndarray  # (nbz, nby, nbx, 128) int32 flat voxel ids per
     #   apron-padded 8x4x4 brick (see models/medium.py bricked access)
     majorant: jnp.ndarray   # () max sigma_t over grid for Woodcock tracking
-    # refractive: RIF spline field + SDF for inside tests
+    # refractive: RIF field (analytic or spline) + SDF for inside tests
+    rif_kind: jnp.ndarray    # () int32 (models/eikonal.py RIF_*)
+    rif_params: jnp.ndarray  # (8,) analytic RIF parameters
     rif_coeff: jnp.ndarray   # (nz, ny, nx) B-spline coefficients
     rif_min: jnp.ndarray     # (3,)
     rif_max: jnp.ndarray     # (3,)
+    sdf_kind: jnp.ndarray    # () int32 (models/eikonal.py SDF_*)
+    sdf_params: jnp.ndarray  # (8,) analytic SDF parameters
     sdf_coeff: jnp.ndarray   # (nz, ny, nx) B-spline coefficients of SDF
     sdf_min: jnp.ndarray
     sdf_max: jnp.ndarray
@@ -220,9 +224,13 @@ def empty_media() -> Media:
         albedo=g1,
         brick_map=jnp.zeros((1, 1, 1, 128), jnp.int32),
         majorant=jnp.zeros((), jnp.float32),
+        rif_kind=jnp.zeros((), jnp.int32),
+        rif_params=jnp.concatenate([jnp.ones(1), jnp.zeros(7)]).astype(jnp.float32),
         rif_coeff=jnp.ones((1, 1, 1), jnp.float32),
         rif_min=jnp.zeros(3),
         rif_max=jnp.ones(3),
+        sdf_kind=jnp.zeros((), jnp.int32),
+        sdf_params=jnp.zeros(8, jnp.float32),
         sdf_coeff=jnp.ones((1, 1, 1), jnp.float32),
         sdf_min=jnp.zeros(3),
         sdf_max=jnp.ones(3),
