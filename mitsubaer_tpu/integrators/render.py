@@ -27,6 +27,10 @@ def get_integrator(name: str):
         from . import volpath as volpath_m
 
         return functools.partial(volpath_m.li, simple=name.endswith("simple"))
+    if name == "volpath_er":
+        from . import volpath_er as er_m
+
+        return er_m.li
     if name == "direct":
         return functools.partial(path_m.li, )  # direct = path with maxDepth 2
     if name == "ao":

@@ -505,12 +505,16 @@ def integrate_with_sensitivities(rif: RifField, sdf: SdfField, p1, v0, p2,
     tstar_in = -dot(p - p2, dpdt_in) / jnp.maximum(dot(dpdt_in, dpdt_in), 1e-12)
     p_in = p + tstar_in[..., None] * dpdt_in
     opt = jnp.where(exited, opt + extra_t, opt + tstar_in * n_end)
-    geo = jnp.where(exited, marched, marched + tstar_in)
+    # geometric lengths: inside-medium arc (absorption) vs total connection
+    # (inverse-square falloff) — conflating them makes near-boundary scatter
+    # vertices produce unbounded 1/geo^2 fireflies
+    geo_inside = jnp.where(exited, marched, marched + tstar_in)
+    geo_total = jnp.where(exited, marched + extra_t, marched + tstar_in)
 
     p_final = jnp.where(exited[..., None], p_ext, p_in)
     err = p_final - p2
     J = dpdv0_eff + jnp.einsum("...i,...j->...ij", dpdt, dtstar)
-    return err, J, exited, opt, geo, v_eff
+    return err, J, exited, opt, geo_inside, geo_total, v_eff
 
 
 # ---------------------------------------------------------------------------
@@ -521,7 +525,8 @@ class BVPResult(NamedTuple):
     converged: jnp.ndarray      # (N,)
     weight: jnp.ndarray         # (N,) RR / multiplicity weight
     opt_len: jnp.ndarray        # (N,) optical connection length
-    geo_len: jnp.ndarray        # (N,) curved geometric length (inside medium)
+    geo_inside: jnp.ndarray     # (N,) curved arc length inside the medium
+    geo_total: jnp.ndarray      # (N,) full connection length (falloff)
     rev_dir: jnp.ndarray        # (N, 3) -normalize(v) at arrival
 
 
@@ -537,7 +542,7 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
 
     def newton_body(i, carry):
         v, lam = carry
-        err, J, exited, _, _, _ = integrate_with_sensitivities(
+        err, J, exited, _, _, _, _ = integrate_with_sensitivities(
             rif, sdf, p1, v, p2, h, max_steps, active,
             differentiable=differentiable,
         )
@@ -563,7 +568,7 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
     v_fin, _ = jax.lax.fori_loop(
         0, newton_iters, newton_body, (v, jnp.full((n,), 1e-3))
     )
-    err, _, exited, opt, geo, v_end = integrate_with_sensitivities(
+    err, _, exited, opt, geo_in, geo_tot, v_end = integrate_with_sensitivities(
         rif, sdf, p1, v_fin, p2, h, max_steps, active,
         differentiable=differentiable,
     )
@@ -573,5 +578,5 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
     rev = -normalize(v_end)
     return BVPResult(
         dir_to_target=d, converged=converged, weight=jnp.ones((n,)),
-        opt_len=opt, geo_len=geo, rev_dir=rev,
+        opt_len=opt, geo_inside=geo_in, geo_total=geo_tot, rev_dir=rev,
     )

@@ -152,3 +152,48 @@ def volumetric_box(res: int = 256, spp: int = 16, max_depth: int = 12,
         **cfg_kw
     )
     return b.build(), b.config
+
+
+def refractive_sphere(res: int = 64, spp: int = 16, max_depth: int = 8,
+                      rif_kind: int = 0, rif_params=(1.0,),
+                      sigma_s=(0.4, 0.4, 0.4), sigma_a=(0.02, 0.02, 0.02),
+                      g: float = 0.0, er_stepsize: float = 0.01,
+                      backdrop: bool = True, emitter: str = "point", **cfg_kw):
+    """Eikonal test scene: a unit sphere of refractive scattering medium at
+    the origin (like the reference's hackForSphere setup,
+    heterogeneousrefractive.cpp:714-720), point light up-right, grey backdrop
+    behind for lensing visualization, camera on -z.
+
+    rif_kind: models/eikonal.py RIF_* (0 const, 1 linear, 2 radial,
+    3 acoustic, 4 spline)."""
+    from ..models import eikonal as ek
+
+    b = SceneBuilder()
+    med = b.add_medium(
+        kind=T.MED_REFRACTIVE, sigma_a=tuple(sigma_a), sigma_s=tuple(sigma_s),
+        phase_kind=T.PH_HG if g else T.PH_ISOTROPIC, g=g,
+        rif_kind=rif_kind, rif_params=tuple(rif_params),
+        sdf_kind=ek.SDF_SPHERE, sdf_params=(0.0, 0.0, 0.0, 1.0),
+    )
+    b.add_sphere([0, 0, 0], 1.0, bsdf=-1, interior=med)
+    if backdrop:
+        grey = b.add_bsdf(T.BSDF_DIFFUSE, reflectance=(0.5, 0.5, 0.5))
+        v = np.array([[-4, -4, 2.5], [4, -4, 2.5], [4, 4, 2.5], [-4, 4, 2.5]], np.float32)
+        f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        b.add_mesh(v, f, bsdf=grey)
+    if emitter == "point":
+        b.add_emitter(T.EM_POINT, radiance=(40.0, 40.0, 40.0), position=(2.0, 2.0, -2.0))
+    elif emitter == "area_behind":
+        lb = b.add_bsdf(T.BSDF_DIFFUSE, reflectance=(0.0, 0.0, 0.0))
+        v = np.array([[-3, -3, 3.0], [3, -3, 3.0], [3, 3, 3.0], [-3, 3, 3.0]], np.float32)
+        f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        b.add_mesh(v, f, bsdf=lb, emitter_radiance=(4.0, 4.0, 4.0))
+    b.set_perspective_sensor(
+        to_world=tf.look_at([0, 0, -3.5], [0, 0, 0], [0, 1, 0]), fov_deg=45.0,
+    )
+    b.config = b.config._replace(
+        width=res, height=res, spp=spp, max_depth=max_depth,
+        integrator="volpath_er", er_stepsize=er_stepsize, er_maxsteps=1024,
+        **cfg_kw
+    )
+    return b.build(), b.config

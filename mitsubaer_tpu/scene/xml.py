@@ -1,0 +1,463 @@
+"""Mitsuba-format XML scene loader.
+
+Reference: src/librender/scenehandler.cpp (SAX parsing + plugin
+instantiation + $var substitution from CLI -D flags, mitsuba.cpp:168-174).
+Parses the reference's scene dialect (version 0.5.0) into the SceneBuilder:
+integrators, perspective sensors with samplers/films (incl. transient
+decomposition), BSDFs, shapes (obj/ply/sphere/cube/rectangle), emitters,
+media (homogeneous / heterogeneous / heterogeneousrefractive) with phase
+functions and volume data sources (constvolume / gridvolume .vol files).
+"""
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..core import transform as tf
+from ..core.spectrum import spd_to_rgb
+from ..models import eikonal as ek
+from ..utils import io
+from . import types as T
+from .build import SceneBuilder
+
+_BSDF_KINDS = {
+    "diffuse": T.BSDF_DIFFUSE,
+    "roughdiffuse": T.BSDF_DIFFUSE,
+    "dielectric": T.BSDF_DIELECTRIC,
+    "thindielectric": T.BSDF_THINDIELECTRIC,
+    "roughdielectric": T.BSDF_DIELECTRIC,
+    "conductor": T.BSDF_CONDUCTOR,
+    "roughconductor": T.BSDF_ROUGHCONDUCTOR,
+    "plastic": T.BSDF_PLASTIC,
+    "roughplastic": T.BSDF_PLASTIC,
+    "phong": T.BSDF_PHONG,
+    "mirror": T.BSDF_MIRROR,
+    "null": T.BSDF_NULL,
+    "mask": T.BSDF_NULL,
+    "hdielectric": T.BSDF_HDIELECTRIC,
+    "hroughdielectric": T.BSDF_HDIELECTRIC,
+}
+
+_IOR_NAMES = {
+    "vacuum": 1.0, "air": 1.000277, "water": 1.3330, "water ice": 1.31,
+    "diamond": 2.419, "glass": 1.5046, "bk7": 1.5046, "pyrex": 1.470,
+    "acrylic glass": 1.49, "polypropylene": 1.49, "fused quartz": 1.458,
+    "pet": 1.5750, "sodium chloride": 1.544, "amber": 1.55, "sapphire": 1.77,
+    "bromine": 1.661,
+}
+
+
+def _substitute(text: str, defines: dict) -> str:
+    def repl(m):
+        key = m.group(1)
+        if key not in defines:
+            raise ValueError(f"undefined scene parameter ${key} (pass via defines)")
+        return str(defines[key])
+
+    return re.sub(r"\$(\w+)", repl, text)
+
+
+def _parse_value(node) -> object:
+    t = node.tag
+    v = node.get("value", "")
+    if t == "float":
+        return float(v)
+    if t == "integer":
+        return int(v)
+    if t == "boolean":
+        return v.strip().lower() == "true"
+    if t == "string":
+        return v
+    if t in ("spectrum", "rgb"):
+        return _parse_spectrum(v)
+    if t == "point" or t == "vector":
+        if node.get("value") is not None:
+            return np.array([float(x) for x in re.split(r"[ ,]+", v.strip())], np.float32)
+        return np.array(
+            [float(node.get(a, 0.0)) for a in ("x", "y", "z")], np.float32
+        )
+    return v
+
+
+def _parse_spectrum(v: str) -> np.ndarray:
+    v = v.strip()
+    if ":" in v:
+        pairs = [p.split(":") for p in v.split(",")]
+        wl = [float(a) for a, _ in pairs]
+        vals = [float(b) for _, b in pairs]
+        return spd_to_rgb(wl, vals)
+    parts = [float(x) for x in re.split(r"[ ,]+", v) if x]
+    if len(parts) == 1:
+        return np.full(3, parts[0], np.float32)
+    return np.array(parts[:3], np.float32)
+
+
+def _props(node) -> dict:
+    """Collect typed child properties by name."""
+    out = {}
+    for c in node:
+        name = c.get("name")
+        if name and c.tag in ("float", "integer", "boolean", "string",
+                              "spectrum", "rgb", "point", "vector"):
+            out[name] = _parse_value(c)
+    return out
+
+
+def _parse_transform(node) -> np.ndarray:
+    m = tf.identity()
+    for c in node:
+        if c.tag == "translate":
+            m = np.asarray(tf.translate(
+                [float(c.get(a, 0.0)) for a in ("x", "y", "z")]
+            ), np.float32) @ m
+        elif c.tag == "scale":
+            if c.get("value") is not None:
+                s = float(c.get("value"))
+                m = tf.scale([s, s, s]) @ m
+            else:
+                m = tf.scale(
+                    [float(c.get(a, 1.0)) for a in ("x", "y", "z")]
+                ) @ m
+        elif c.tag == "rotate":
+            axis = [float(c.get(a, 0.0)) for a in ("x", "y", "z")]
+            m = tf.rotate(axis, float(c.get("angle", 0.0))) @ m
+        elif c.tag == "lookat" or c.tag == "lookAt":
+            def vec(s):
+                return [float(x) for x in re.split(r"[ ,]+", s.strip())]
+
+            m = tf.look_at(
+                vec(c.get("origin")), vec(c.get("target")),
+                vec(c.get("up", "0, 1, 0")),
+            ) @ m
+        elif c.tag == "matrix":
+            vals = [float(x) for x in re.split(r"[ ,\s]+", c.get("value").strip()) if x]
+            m = np.asarray(vals, np.float32).reshape(4, 4) @ m
+    return m
+
+
+class XMLLoader:
+    def __init__(self, path: str, defines: dict | None = None):
+        self.path = path
+        self.dir = os.path.dirname(os.path.abspath(path))
+        self.defines = defines or {}
+        self.b = SceneBuilder()
+        self.bsdf_ids: dict[str, int] = {}
+        self.medium_ids: dict[str, int] = {}
+        self.integrator = "path"
+        self.max_depth = 12
+
+    def load(self):
+        text = _substitute(open(self.path).read(), self.defines)
+        root = ET.fromstring(text)
+        assert root.tag == "scene"
+        for node in root:
+            if node.tag == "integrator":
+                self._integrator(node)
+            elif node.tag == "sensor":
+                self._sensor(node)
+            elif node.tag == "bsdf":
+                self._bsdf(node, node.get("id"))
+            elif node.tag == "medium":
+                self._medium(node, node.get("id"))
+            elif node.tag == "shape":
+                self._shape(node)
+            elif node.tag == "emitter":
+                self._emitter(node, shape_id=-1)
+        self.b.config = self.b.config._replace(
+            integrator=self.integrator, max_depth=self.max_depth,
+        )
+        return self.b.build(), self.b.config
+
+    # ------------------------------------------------------------------
+    def _integrator(self, node):
+        t = node.get("type")
+        p = _props(node)
+        self.max_depth = int(p.get("maxDepth", 12))
+        if self.max_depth < 0:
+            self.max_depth = 40
+        # bdpt maps to our volpath family (the curved/beam NEE supplies the
+        # light-subpath families the reference gets from BDPT)
+        self.integrator = {
+            "path": "path", "volpath": "volpath",
+            "volpath_simple": "volpath_simple", "bdpt": "volpath",
+            "direct": "direct", "ao": "ao",
+        }.get(t, "volpath")
+
+    def _sensor(self, node):
+        p = _props(node)
+        to_world = tf.identity()
+        for c in node:
+            if c.tag == "transform":
+                to_world = _parse_transform(c)
+            elif c.tag == "sampler":
+                sp = _props(c)
+                self.b.config = self.b.config._replace(
+                    spp=int(sp.get("sampleCount", 16)),
+                    sampler={"independent": "independent", "ldsampler": "lds",
+                             "sobol": "lds", "halton": "lds",
+                             "stratified": "independent"}.get(c.get("type"), "independent"),
+                )
+            elif c.tag == "film":
+                fp = _props(c)
+                filt = "gaussian"
+                for f in c:
+                    if f.tag == "rfilter":
+                        filt = {"box": "box", "tent": "tent",
+                                "gaussian": "gaussian", "mitchell": "mitchell",
+                                "catmullrom": "catmullrom"}.get(f.get("type"), "gaussian")
+                self.b.config = self.b.config._replace(
+                    width=int(fp.get("width", 256)),
+                    height=int(fp.get("height", 256)),
+                    filter=filt,
+                    decomposition=fp.get("decomposition", "steadystate"),
+                    min_bound=float(fp.get("minBound", 0.0)),
+                    max_bound=float(fp.get("maxBound", 0.0)),
+                    bin_width=float(fp.get("binWidth", 1.0)),
+                    modulation=fp.get("modulation", "none"),
+                    lambda_=float(fp.get("lambda", 1.0)),
+                    phase=float(fp.get("phase", 0.0)),
+                    P=int(fp.get("P", 32)),
+                    neighbors=int(fp.get("neighbors", 3)),
+                )
+        self.b.set_perspective_sensor(
+            to_world=to_world,
+            fov_deg=float(p.get("fov", 45.0)),
+            fov_axis=p.get("fovAxis", "x"),
+            near=float(p.get("nearClip", 1e-2)),
+            far=float(p.get("farClip", 1e4)),
+        )
+
+    def _bsdf(self, node, bsdf_id=None) -> int:
+        t = node.get("type")
+        if t in ("twosided", "bumpmap", "normalmap", "coating", "roughcoating"):
+            # unwrap adapters to the nested BSDF
+            for c in node:
+                if c.tag == "bsdf":
+                    idx = self._bsdf(c, bsdf_id)
+                    if bsdf_id:
+                        self.bsdf_ids[bsdf_id] = idx
+                    return idx
+        p = _props(node)
+        kind = _BSDF_KINDS.get(t, T.BSDF_DIFFUSE)
+        kw = {}
+        if "reflectance" in p:
+            kw["reflectance"] = tuple(np.asarray(p["reflectance"], np.float32))
+        if "diffuseReflectance" in p:
+            kw["reflectance"] = tuple(np.asarray(p["diffuseReflectance"], np.float32))
+        if "specularReflectance" in p:
+            kw["specular_r"] = tuple(np.asarray(p["specularReflectance"], np.float32))
+        if "specularTransmittance" in p:
+            kw["specular_t"] = tuple(np.asarray(p["specularTransmittance"], np.float32))
+        int_ior = p.get("intIOR", 1.5046)
+        ext_ior = p.get("extIOR", 1.000277)
+        if isinstance(int_ior, str):
+            int_ior = _IOR_NAMES.get(int_ior.lower(), 1.5046)
+        if isinstance(ext_ior, str):
+            ext_ior = _IOR_NAMES.get(ext_ior.lower(), 1.000277)
+        kw["eta"] = float(int_ior) / float(ext_ior)
+        if "alpha" in p:
+            kw["alpha"] = float(p["alpha"])
+        if "exponent" in p:
+            kw["exponent"] = float(p["exponent"])
+        if "eta" in p and kind in (T.BSDF_CONDUCTOR, T.BSDF_ROUGHCONDUCTOR):
+            kw["cond_eta"] = tuple(np.asarray(p["eta"], np.float32)) if not np.isscalar(p["eta"]) else (p["eta"],) * 3
+            kw.pop("eta", None)
+            kw["eta"] = 1.5
+        if "k" in p:
+            kw["cond_k"] = tuple(np.asarray(p["k"], np.float32))
+        idx = self.b.add_bsdf(kind, **kw)
+        if bsdf_id:
+            self.bsdf_ids[bsdf_id] = idx
+        return idx
+
+    def _phase(self, node):
+        t = node.get("type", "isotropic")
+        p = _props(node)
+        kind = {"isotropic": T.PH_ISOTROPIC, "hg": T.PH_HG,
+                "rayleigh": T.PH_RAYLEIGH}.get(t, T.PH_ISOTROPIC)
+        return kind, float(p.get("g", 0.0))
+
+    def _volume(self, node):
+        """Parse a VolumeDataSource: returns dict describing it."""
+        t = node.get("type")
+        p = _props(node)
+        if t == "constvolume":
+            val = p.get("value", 1.0)
+            return dict(kind="const", value=val)
+        if t in ("gridvolume", "splinevolume"):
+            fn = p["filename"]
+            if not os.path.isabs(fn):
+                fn = os.path.join(self.dir, fn)
+            data, lo, hi = io.read_vol(fn)
+            return dict(kind="grid", data=data[..., 0] if data.shape[-1] == 1 else data,
+                        lo=lo, hi=hi, spline=(t == "splinevolume"))
+        if t == "acousticrifvolume":
+            return dict(
+                kind="acoustic",
+                n0=float(p.get("n_o", p.get("n0", 1.3333))),
+                nmax=float(p.get("n_max", p.get("nmax", 0.04))),
+                f=float(p.get("f_u", p.get("f", 832e3))),
+                c=float(p.get("c_u", p.get("c", 1500.0))),
+                mode=int(p.get("mode", 0)),
+            )
+        return dict(kind="const", value=1.0)
+
+    def _medium(self, node, med_id=None) -> int:
+        t = node.get("type")
+        p = _props(node)
+        phase_kind, g = T.PH_ISOTROPIC, 0.0
+        volumes = {}
+        for c in node:
+            if c.tag == "phase":
+                phase_kind, g = self._phase(c)
+            elif c.tag == "volume":
+                volumes[c.get("name", "density")] = self._volume(c)
+        sigma_s = tuple(np.asarray(p.get("sigmaS", np.full(3, 1.0)), np.float32).reshape(-1)[:3])
+        sigma_a = tuple(np.asarray(p.get("sigmaA", np.full(3, 0.0)), np.float32).reshape(-1)[:3])
+        if "sigmaT" in p and "albedo" in p:
+            st = np.asarray(p["sigmaT"], np.float32).reshape(-1)[:3]
+            alb = np.asarray(p["albedo"], np.float32).reshape(-1)[:3]
+            sigma_s = tuple(st * alb)
+            sigma_a = tuple(st * (1 - alb))
+        kw = dict(sigma_a=sigma_a, sigma_s=sigma_s, phase_kind=phase_kind, g=g,
+                  scale=float(p.get("scale", 1.0)))
+
+        if t == "homogeneous":
+            idx = self.b.add_medium(kind=T.MED_HOMOGENEOUS, **kw)
+        elif t == "heterogeneous":
+            dv = volumes.get("density", dict(kind="const", value=1.0))
+            if dv["kind"] == "grid":
+                d = dv["data"]
+                if d.ndim == 4:
+                    d = d[..., 0]
+                idx = self.b.add_medium(
+                    kind=T.MED_HETEROGENEOUS, density=d,
+                    density_aabb=(dv["lo"], dv["hi"]), **kw
+                )
+            else:
+                idx = self.b.add_medium(kind=T.MED_HOMOGENEOUS, **kw)
+        elif t == "heterogeneousrefractive":
+            rv = volumes.get("rif", dict(kind="const", value=1.333))
+            sv = volumes.get("sdf")
+            mk = dict(kind=T.MED_REFRACTIVE, **kw)
+            if rv["kind"] == "acoustic":
+                kr = 2 * np.pi * rv["f"] / rv["c"]
+                mk.update(rif_kind=ek.RIF_ACOUSTIC,
+                          rif_params=(rv["n0"], rv["nmax"], kr, rv["mode"]))
+            elif rv["kind"] == "grid":
+                d = rv["data"]
+                if d.ndim == 4:
+                    d = d[..., 0]
+                mk.update(rif_kind=ek.RIF_SPLINE, rif=d,
+                          rif_aabb=(rv["lo"], rv["hi"]))
+            else:
+                mk.update(rif_kind=ek.RIF_CONST,
+                          rif_params=(float(rv.get("value", 1.333)),))
+            if sv is not None and sv["kind"] == "grid":
+                d = sv["data"]
+                if d.ndim == 4:
+                    d = d[..., 0]
+                mk.update(sdf_kind=ek.SDF_SPLINE, sdf=d,
+                          sdf_aabb=(sv["lo"], sv["hi"]))
+            idx = self.b.add_medium(**mk)
+        else:
+            idx = self.b.add_medium(kind=T.MED_HOMOGENEOUS, **kw)
+        if med_id:
+            self.medium_ids[med_id] = idx
+        return idx
+
+    def _emitter(self, node, shape_id: int):
+        t = node.get("type")
+        p = _props(node)
+        to_world = tf.identity()
+        for c in node:
+            if c.tag == "transform":
+                to_world = _parse_transform(c)
+        rad = np.asarray(
+            p.get("radiance", p.get("intensity", p.get("power",
+                  p.get("irradiance", np.full(3, 1.0))))), np.float32
+        ).reshape(-1)
+        if rad.size == 1:
+            rad = np.full(3, rad[0], np.float32)
+        pos = to_world[:3, 3]
+        direction = to_world[:3, :3] @ np.array([0, 0, 1], np.float32)
+        if t == "area":
+            return tuple(rad)  # handled by the shape
+        kind = {"point": T.EM_POINT, "spot": T.EM_SPOT,
+                "directional": T.EM_DIRECTIONAL, "collimated": T.EM_COLLIMATED,
+                "constant": T.EM_CONSTANT}.get(t, T.EM_POINT)
+        kw = dict(radiance=tuple(rad), position=tuple(pos),
+                  direction=tuple(direction))
+        if t == "spot":
+            kw["cutoff_deg"] = float(p.get("cutoffAngle", 20.0))
+            kw["beam_width_deg"] = float(p.get("beamWidth", kw["cutoff_deg"] * 0.75))
+        if t == "collimated":
+            self.b.config = self.b.config._replace(has_beam=True)
+        self.b.add_emitter(kind, **kw)
+        return None
+
+    def _shape(self, node):
+        t = node.get("type")
+        p = _props(node)
+        to_world = None
+        bsdf = -1
+        interior = -1
+        exterior = -1
+        emitter_rad = None
+        for c in node:
+            if c.tag == "transform":
+                to_world = _parse_transform(c)
+            elif c.tag == "bsdf":
+                bsdf = self._bsdf(c)
+            elif c.tag == "ref":
+                rid = c.get("id")
+                name = c.get("name", "")
+                if rid in self.bsdf_ids and name not in ("interior", "exterior"):
+                    bsdf = self.bsdf_ids[rid]
+                elif rid in self.medium_ids:
+                    if name == "exterior":
+                        exterior = self.medium_ids[rid]
+                    else:
+                        interior = self.medium_ids[rid]
+            elif c.tag == "medium":
+                idx = self._medium(c, c.get("id"))
+                if c.get("name") == "exterior":
+                    exterior = idx
+                else:
+                    interior = idx
+            elif c.tag == "emitter":
+                emitter_rad = self._emitter(c, shape_id=0)
+
+        kw = dict(bsdf=bsdf, interior=interior, exterior=exterior,
+                  emitter_radiance=emitter_rad)
+        if t == "obj":
+            fn = p["filename"]
+            if not os.path.isabs(fn):
+                fn = os.path.join(self.dir, fn)
+            v, f = io.load_obj(fn)
+            self.b.add_mesh(v, f, to_world=to_world, **kw)
+        elif t == "ply":
+            fn = p["filename"]
+            if not os.path.isabs(fn):
+                fn = os.path.join(self.dir, fn)
+            v, f = io.load_ply(fn)
+            self.b.add_mesh(v, f, to_world=to_world, **kw)
+        elif t == "sphere":
+            center = np.asarray(p.get("center", np.zeros(3)), np.float32)
+            if to_world is not None:
+                center = to_world[:3, :3] @ center + to_world[:3, 3]
+            self.b.add_sphere(center, float(p.get("radius", 1.0)), **kw)
+        elif t == "cube":
+            self.b.add_cube(to_world if to_world is not None else tf.identity(), **kw)
+        elif t == "rectangle":
+            self.b.add_rectangle(to_world if to_world is not None else tf.identity(), **kw)
+        else:
+            raise NotImplementedError(f"shape type {t}")
+
+
+def load_scene(path: str, defines: dict | None = None):
+    """Load a Mitsuba XML scene -> (Scene pytree, RenderConfig)."""
+    return XMLLoader(path, defines).load()

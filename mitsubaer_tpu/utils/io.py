@@ -18,9 +18,18 @@ import numpy as np
 # OBJ / PLY loading
 # ---------------------------------------------------------------------------
 def load_obj(path):
-    """Minimal OBJ parser: returns (vertices (V,3) f32, faces (F,3) i32).
+    """OBJ parser: returns (vertices (V,3) f32, faces (F,3) i32).
     Polygon faces are fan-triangulated. Handles v/vt/vn index syntax and
-    negative indices."""
+    negative indices. Uses the native mmap parser when available
+    (native/mernative.cpp), this Python fallback otherwise."""
+    try:
+        from ..native import load_obj_native
+
+        out = load_obj_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     verts, faces = [], []
     with open(path, "r") as f:
         for line in f:
@@ -264,7 +273,15 @@ def read_exr(path):
 # ---------------------------------------------------------------------------
 def read_vol(path):
     """Read a Mitsuba VOL3 grid. Returns (data (nz, ny, nx, ch) f32,
-    aabb_min (3,), aabb_max (3,))."""
+    aabb_min (3,), aabb_max (3,)). Native fast path with Python fallback."""
+    try:
+        from ..native import read_vol_native
+
+        out = read_vol_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:3] != b"VOL" or buf[3] != 3:

@@ -234,7 +234,7 @@ class TestBVP:
         assert np.asarray(res.converged).mean() >= 0.75
         # verify by re-tracing the solved direction
         v0 = res.dir_to_target * ek.rif_value(rif, p1)[..., None]
-        err, _, _, _, _, _ = ek.integrate_with_sensitivities(
+        err, _, _, _, _, _, _ = ek.integrate_with_sensitivities(
             rif, sdf, p1, v0, p2, 0.005, 2000, jnp.ones((n,), bool)
         )
         conv = np.asarray(res.converged)
