@@ -45,7 +45,9 @@ def normalize(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # the tiny positive floor keeps sqrt' finite at 0 under reverse-mode AD
+    # (e.g. cos_theta_t at exactly-critical TIR angles); forward error <= 1e-6
+    return jnp.sqrt(jnp.maximum(x, 1e-12))
 
 
 def safe_acos(x: jnp.ndarray) -> jnp.ndarray:

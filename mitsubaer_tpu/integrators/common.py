@@ -42,6 +42,12 @@ def add_contribution(sink: Sink, cfg: RenderConfig, value, plen, depth, active,
     rendered image unbiased (differential path sampling)."""
     import jax
 
+    # NaN firewall: a non-finite contribution carries no legitimate energy
+    # (it is a numerical casualty on a masked/degenerate lane); dropping it
+    # here keeps both the image and — critically — reverse-mode gradients
+    # finite (NaN primals poison cotangents even under zero masks). The
+    # reference instead traps FP exceptions in debug builds (MTS_DEBUG_FP).
+    value = jnp.where(jnp.isfinite(value), value, 0.0)
     value = jnp.where(active[..., None], value, 0.0)
     if log_p is not None:
         score = (log_p - jax.lax.stop_gradient(log_p))[..., None]

@@ -37,6 +37,10 @@ def get_integrator(name: str):
         from . import misc as misc_m
 
         return misc_m.ao_li
+    if name == "field":
+        from . import misc as misc_m
+
+        return misc_m.field_li
     raise ValueError(f"unknown integrator {name}")
 
 
@@ -57,14 +61,19 @@ def render_pass(scene: Scene, accum, cfg: RenderConfig, sppc: int, seed, pass_id
     smp = rng.make_sampler(seed, pixel, sample_index, mode=_sampler_mode(cfg.sampler))
 
     jitter, smp = rng.next_2d(smp)  # position inside pixel (film dimension 0)
+    u_lens, smp = rng.next_2d(smp)  # aperture sample (thin lens)
     px = (pixel % W).astype(jnp.float32) + jitter[:, 0]
     py = (pixel // W).astype(jnp.float32) + jitter[:, 1]
-    rays = sensor_m.sample_rays(scene.sensor, px, py, W, H)
+    rays = sensor_m.sample_rays(scene.sensor, px, py, W, H, u_lens=u_lens)
 
     if cfg.integrator == "direct":
         cfg = cfg._replace(max_depth=2, integrator="path")
     integrator = get_integrator(cfg.integrator)
-    sink, _ = integrator(scene, cfg, rays.o, rays.d, smp, pixel=pixel)
+    if cfg.integrator == "field":
+        sink, _ = integrator(scene, cfg, rays.o, rays.d, smp, pixel=pixel,
+                             field=cfg.field)
+    else:
+        sink, _ = integrator(scene, cfg, rays.o, rays.d, smp, pixel=pixel)
 
     values = sink.steady.reshape(sppc, H, W, 3)
     jit_r = jitter.reshape(sppc, H, W, 2)
@@ -169,8 +178,15 @@ def _has_beam(scene) -> bool:
 
 
 def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 0,
-           spp_per_pass: int = None):
-    """Render to a developed (H, W, 3*F) image."""
+           spp_per_pass: int = None, checkpoint_path: str = None,
+           checkpoint_every: int = 0):
+    """Render to a developed (H, W, 3*F) image.
+
+    checkpoint_path/_every: optional resumable rendering — the accumulator +
+    pass counter are persisted and reloaded (counter-based RNG makes the
+    resumed render identical to an uninterrupted one)."""
+    from ..utils import stats
+
     if cfg is None:
         cfg = RenderConfig()
     if spp is not None:
@@ -182,14 +198,29 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
     accum = film_m.new_accumulator(cfg)
     done = 0
     pass_idx = 0
-    while done < cfg.spp:
-        sppc = min(spp_per_pass, cfg.spp - done)
-        accum = render_pass(
-            scene, accum, cfg, sppc,
-            jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32),
-        )
-        done += sppc
-        pass_idx += 1
+    if checkpoint_path:
+        from ..utils import checkpoint as ckpt
+
+        st = ckpt.load_render_state(checkpoint_path)
+        if st is not None:
+            accum, pass_idx, seed, _ = st
+            accum = jnp.asarray(accum)
+            done = min(pass_idx * spp_per_pass, cfg.spp)
+    with stats.timed("render.wall"):
+        while done < cfg.spp:
+            sppc = min(spp_per_pass, cfg.spp - done)
+            accum = render_pass(
+                scene, accum, cfg, sppc,
+                jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32),
+            )
+            done += sppc
+            pass_idx += 1
+            stats.counter_add("render.passes")
+            stats.counter_add("render.camera_rays", npix * sppc)
+            if checkpoint_path and checkpoint_every and pass_idx % checkpoint_every == 0:
+                from ..utils import checkpoint as ckpt
+
+                ckpt.save_render_state(checkpoint_path, accum, pass_idx, seed, cfg)
     img = film_m.develop(accum)
 
     if cfg.integrator.startswith("volpath") and _has_beam(scene):

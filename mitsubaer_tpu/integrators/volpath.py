@@ -490,11 +490,19 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         active = active & (survive | rr_exempt)
 
         inc_depth = (scattered | (on_surface & ~is_null)) & active
-        new_o = vtx_p + new_d * eps
+        # NaN firewall (see volpath_er): kill non-finite lanes
+        finite = (
+            jnp.all(jnp.isfinite(vtx_p), axis=-1)
+            & jnp.all(jnp.isfinite(new_d), axis=-1)
+            & jnp.all(jnp.isfinite(throughput2), axis=-1)
+        )
+        active = active & finite
+        throughput2 = jnp.nan_to_num(throughput2, posinf=0.0, neginf=0.0)
+        new_o = jnp.nan_to_num(vtx_p, posinf=0.0, neginf=0.0) + jnp.nan_to_num(new_d) * eps
 
         return _State(
             o=jnp.where(active[..., None], new_o, s.o),
-            d=jnp.where(active[..., None], new_d, s.d),
+            d=jnp.where(active[..., None], jnp.nan_to_num(new_d), s.d),
             throughput=jnp.where(active[..., None], throughput2, s.throughput),
             sink=sink_new,
             active=active,

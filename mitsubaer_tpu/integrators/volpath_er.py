@@ -74,7 +74,7 @@ def _refractive_params(scene: Scene):
 
 
 def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
-       differentiable: bool = False):
+       differentiable: bool = False, max_iters_override: int = None):
     n = o.shape[0]
     eps = common.scene_epsilon(scene)
     sink = common.new_sink(cfg, n, pixel)
@@ -98,7 +98,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         iters=jnp.zeros((), jnp.int32),
         sampler=sampler,
     )
-    max_iters = 2 * cfg.max_depth + 8
+    max_iters = max_iters_override or (2 * cfg.max_depth + 8)
 
     def cond(s: _State):
         return jnp.any(s.active) & (s.iters < max_iters)
@@ -344,6 +344,18 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         active = active & survive
 
         inc = (cont_srf | scattered | enter_b | leave) & active
+        # NaN firewall: deactivate lanes whose state went non-finite and
+        # scrub the stored values so they cannot poison later iterations
+        # (forward or backward)
+        finite = (
+            jnp.all(jnp.isfinite(new_o), axis=-1)
+            & jnp.all(jnp.isfinite(new_v), axis=-1)
+            & jnp.all(jnp.isfinite(throughput), axis=-1)
+        )
+        active = active & finite
+        new_o = jnp.nan_to_num(new_o, posinf=0.0, neginf=0.0)
+        new_v = jnp.nan_to_num(new_v, nan=1.0, posinf=1.0, neginf=-1.0)
+        throughput = jnp.nan_to_num(throughput, posinf=0.0, neginf=0.0)
         return _State(
             o=jnp.where(active[..., None], new_o, s.o),
             v=jnp.where(active[..., None], new_v, s.v),

@@ -537,6 +537,35 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
     p1 -> p2 along a curved ray. One restart from the chord direction; the
     caller applies russian roulette on failure (reference :1146-1155)."""
     n = p1.shape[0]
+    if differentiable:
+        # Differentiate the connection's TRANSPORT quantities but not the
+        # solved direction: run the Newton iteration on fully detached
+        # inputs (reverse AD prunes it entirely — differentiating through
+        # linalg.solve chains is NaN-prone and wasteful), then do one
+        # attached final integration. Dropping d(direction)/d(RIF) is exact
+        # for the optical-length gradient: by Fermat's principle the optical
+        # path length is stationary w.r.t. path perturbations at the
+        # solution. (The reference computes no parameter gradients at all;
+        # its dp/dv0 machinery only solves the BVP, SURVEY.md §2.9.)
+        sg = jax.lax.stop_gradient
+        v_fin_sg = solve_bvp(
+            jax.tree.map(sg, rif), jax.tree.map(sg, sdf), sg(p1), sg(p2),
+            sg(init_dir), h, max_steps, active, tol2=tol2,
+            newton_iters=newton_iters, differentiable=False,
+        ).dir_to_target
+        r0 = rif_value(rif, p1)
+        err, _, exited, opt, geo_in, geo_tot, v_end = integrate_with_sensitivities(
+            rif, sdf, p1, v_fin_sg * r0[..., None], p2, h, max_steps, active,
+            differentiable=True,
+        )
+        cost = dot(jax.lax.stop_gradient(err), jax.lax.stop_gradient(err))
+        converged = active & (cost < tol2)
+        return BVPResult(
+            dir_to_target=v_fin_sg, converged=converged,
+            weight=jnp.ones((n,)), opt_len=opt, geo_inside=geo_in,
+            geo_total=geo_tot, rev_dir=-normalize(v_end),
+        )
+
     r0 = rif_value(rif, p1)
     v = init_dir * r0[..., None]
 

@@ -21,20 +21,67 @@ class CameraRays(NamedTuple):
     d: jnp.ndarray  # (N, 3)
 
 
-def sample_rays(sensor: Sensor, px, py, width, height) -> CameraRays:
-    """px, py: continuous pixel coordinates in [0, W] x [0, H]."""
+def sample_rays(sensor: Sensor, px, py, width, height, u_lens=None) -> CameraRays:
+    """px, py: continuous pixel coordinates in [0, W] x [0, H].
+    u_lens: optional (N, 2) uniforms for aperture sampling (thin lens).
+
+    Kinds (reference src/sensors/): perspective (perspective.cpp), thinlens
+    (thinlens.cpp — aperture disk + focus plane), orthographic
+    (orthographic.cpp), spherical lat-long (spherical.cpp), radiancemeter
+    (radiancemeter.cpp — one ray along +z)."""
+    from ..scene.types import (
+        SENSOR_ORTHOGRAPHIC,
+        SENSOR_RADIANCEMETER,
+        SENSOR_SPHERICAL,
+        SENSOR_THINLENS,
+    )
+
     ndc_x = 2.0 * px / width - 1.0   # -1 at image left
     ndc_y = 2.0 * py / height - 1.0  # -1 at image top
-    d_cam = jnp.stack(
-        [
-            -ndc_x * sensor.tan_x,
-            -ndc_y * sensor.tan_y,
-            jnp.ones_like(ndc_x),
-        ],
-        axis=-1,
+    ones = jnp.ones_like(ndc_x)
+    zeros = jnp.zeros_like(ndc_x)
+
+    # perspective
+    d_persp = jnp.stack(
+        [-ndc_x * sensor.tan_x, -ndc_y * sensor.tan_y, ones], axis=-1
     )
+    o_persp = jnp.zeros(d_persp.shape, d_persp.dtype)
+
+    # thin lens: offset origin on the aperture disk, aim at the focus plane
+    if u_lens is None:
+        u_lens = jnp.stack([ndc_x * 0 + 0.5, ndc_y * 0 + 0.5], axis=-1)
+    from ..core.warp import square_to_uniform_disk_concentric
+
+    lens = square_to_uniform_disk_concentric(u_lens) * sensor.aperture
+    focus_p = d_persp * sensor.focus  # point on the focus plane (z = focus)
+    o_lens = jnp.stack([lens[..., 0], lens[..., 1], zeros], axis=-1)
+    d_lens = focus_p - o_lens
+
+    # orthographic: parallel rays, tan_x acts as the half-extent
+    o_ortho = jnp.stack(
+        [-ndc_x * sensor.tan_x, -ndc_y * sensor.tan_y, zeros], axis=-1
+    )
+    d_ortho = jnp.stack([zeros, zeros, ones], axis=-1)
+
+    # spherical: full lat-long panorama
+    phi = (1.0 - px / width) * 2.0 * jnp.pi
+    theta = py / height * jnp.pi
+    st = jnp.sin(theta)
+    d_sph = jnp.stack([st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], axis=-1)
+
+    # radiancemeter: every sample measures the same ray
+    d_meter = jnp.stack([zeros, zeros, ones], axis=-1)
+
+    kind = sensor.kind
+    d_cam = jnp.where(kind == SENSOR_THINLENS, d_lens, d_persp)
+    d_cam = jnp.where(kind == SENSOR_ORTHOGRAPHIC, d_ortho, d_cam)
+    d_cam = jnp.where(kind == SENSOR_SPHERICAL, d_sph, d_cam)
+    d_cam = jnp.where(kind == SENSOR_RADIANCEMETER, d_meter, d_cam)
+    o_cam = jnp.where(kind == SENSOR_THINLENS, o_lens, o_persp)
+    o_cam = jnp.where(kind == SENSOR_ORTHOGRAPHIC, o_ortho, o_cam)
+
     d = normalize(apply_vector(sensor.to_world, d_cam))
-    o = jnp.broadcast_to(sensor.to_world[:3, 3], d.shape)
+    o = apply_point(sensor.to_world, o_cam)
     return CameraRays(o=o, d=d)
 
 

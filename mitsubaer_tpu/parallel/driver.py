@@ -53,7 +53,7 @@ def init_distributed():
         pass  # single-process
 
 
-def _pass_shard(scene, cfg: RenderConfig, sppc: int, rows: int, seed, pass_idx):
+def _pass_shard(scene, seed, pass_idx, *, cfg: RenderConfig, sppc: int, rows: int):
     """Render `sppc` samples for a row-block of `rows` rows starting at a
     row offset derived from this device's 'tile' coordinate. Returns a local
     film accumulator block (rows, W, C+1)."""
@@ -133,7 +133,7 @@ def render_sharded(scene: Scene, cfg: RenderConfig, n_devices: Optional[int] = N
 # ---------------------------------------------------------------------------
 # Distributed inverse-rendering training step
 # ---------------------------------------------------------------------------
-def _loss_shard(scene, params, target, cfg: RenderConfig, sppc: int, rows: int, seed):
+def _loss_shard(scene, params, target, *, cfg: RenderConfig, sppc: int, rows: int, seed):
     """Per-device loss over its (tile-rows x data-spp) shard of samples."""
     W = cfg.width
     tile_idx = jax.lax.axis_index("tile")
@@ -174,7 +174,7 @@ def make_train_step(cfg: RenderConfig, optimizer, mesh: Mesh, sppc: int = 4):
     def step(scene, opt_state, params, target, seed):
         def loss_of(p):
             f = jax.shard_map(
-                lambda sc, pp, tg: _loss_shard(sc, pp, tg, cfg, sppc, rows, seed),
+                lambda sc, pp, tg: _loss_shard(sc, pp, tg, cfg=cfg, sppc=sppc, rows=rows, seed=seed),
                 mesh=mesh,
                 in_specs=(P(), P(), P()),
                 out_specs=P(),

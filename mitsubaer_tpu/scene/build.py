@@ -156,15 +156,24 @@ class SceneBuilder:
         return self.add_mesh(v, f, to_world=to_world, **kw)
 
     def set_perspective_sensor(self, to_world, fov_deg, fov_axis="x",
-                               near=1e-2, far=1e4, width=None, height=None):
+                               near=1e-2, far=1e4, width=None, height=None,
+                               kind=T.SENSOR_PERSPECTIVE, aperture=0.0,
+                               focus=1.0):
         self._sensor = dict(
             to_world=np.asarray(to_world, np.float32),
             fov_deg=float(fov_deg), fov_axis=fov_axis, near=near, far=far,
+            kind=kind, aperture=float(aperture), focus=float(focus),
         )
         if width:
             self.config = self.config._replace(width=width)
         if height:
             self.config = self.config._replace(height=height)
+
+    def set_sensor(self, kind, to_world, **kw):
+        """General sensor config (thinlens/orthographic/spherical/
+        radiancemeter; reference src/sensors/*.cpp)."""
+        self.set_perspective_sensor(to_world, kw.pop("fov_deg", 45.0),
+                                    kind=kind, **kw)
 
     # -- freeze ------------------------------------------------------------
     def build(self) -> T.Scene:
@@ -295,6 +304,9 @@ class SceneBuilder:
             to_world=np.eye(4, dtype=np.float32), fov_deg=45.0, fov_axis="x",
             near=1e-2, far=1e4,
         )
+        s.setdefault("kind", T.SENSOR_PERSPECTIVE)
+        s.setdefault("aperture", 0.0)
+        s.setdefault("focus", 1.0)
         w, h = self.config.width, self.config.height
         aspect = w / h
         tan_half = np.tan(np.deg2rad(s["fov_deg"]) / 2)
@@ -305,11 +317,14 @@ class SceneBuilder:
         else:  # smaller | larger | diagonal -> approximate with smaller
             tan_x, tan_y = tan_half, tan_half / aspect
         return T.Sensor(
+            kind=jnp.asarray(s["kind"], jnp.int32),
             to_world=jnp.asarray(s["to_world"]),
             tan_x=jnp.asarray(tan_x, jnp.float32),
             tan_y=jnp.asarray(tan_y, jnp.float32),
             near=jnp.asarray(s["near"], jnp.float32),
             far=jnp.asarray(s["far"], jnp.float32),
+            aperture=jnp.asarray(s["aperture"], jnp.float32),
+            focus=jnp.asarray(s["focus"], jnp.float32),
         )
 
     def _build_media(self) -> T.Media:

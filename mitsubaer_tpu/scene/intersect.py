@@ -42,14 +42,17 @@ def _tri_chunk_hit(v0, e1, e2, o, d, t_best):
     # pvec: (N, C, 3)
     pvec = jnp.cross(d[:, None, :], e2[None, :, :])
     det = jnp.sum(pvec * e1[None, :, :], axis=-1)            # (N, C)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    # guard the denominator INSIDE the division: 1/0 on the masked branch
+    # still produces an INF primal whose VJP poisons gradients with NaN
+    ok_det = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
     tvec = o[:, None, :] - v0[None, :, :]
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1[None, :, :])
     v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
     t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
     ok = (
-        (jnp.abs(det) > 1e-12)
+        ok_det
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         & (t > 0.0)
     )
@@ -140,7 +143,11 @@ def intersect(geo: Geometry, o, d, t_min, t_max) -> Hit:
     tri_shape = jnp.take(geo.shape_id, jnp.clip(tprim, 0, Tn - 1))
     sph_c = jnp.take(geo.sph_center, sprim, axis=0)
     sph_r = jnp.take(geo.sph_radius, sprim)
-    sph_ng = (p - sph_c) / jnp.maximum(sph_r[:, None], 1e-20)
+    # normalize instead of dividing by the radius: dummy radius-0 sphere
+    # slots would otherwise produce ~1e20 "normals" that overflow downstream
+    from ..core.math import normalize as _normalize
+
+    sph_ng = _normalize(p - sph_c)
     sph_shape = jnp.take(geo.sph_shape_id, sprim)
 
     ng = jnp.where(use_sph[:, None], sph_ng, tri_ng)

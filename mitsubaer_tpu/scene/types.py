@@ -101,12 +101,23 @@ class Emitters(NamedTuple):
     tri_count: jnp.ndarray   # (NE,) int32
 
 
+# Sensor kinds (models/sensor.py)
+SENSOR_PERSPECTIVE = 0
+SENSOR_THINLENS = 1
+SENSOR_ORTHOGRAPHIC = 2
+SENSOR_SPHERICAL = 3
+SENSOR_RADIANCEMETER = 4
+
+
 class Sensor(NamedTuple):
+    kind: jnp.ndarray        # () int32
     to_world: jnp.ndarray    # (4, 4) camera-to-world
-    tan_x: jnp.ndarray       # tan(fov_x / 2)
+    tan_x: jnp.ndarray       # tan(fov_x / 2) (perspective) / half-width (ortho)
     tan_y: jnp.ndarray
     near: jnp.ndarray
     far: jnp.ndarray
+    aperture: jnp.ndarray    # () thin-lens aperture radius
+    focus: jnp.ndarray       # () focus distance
 
 
 class PhaseTable(NamedTuple):
@@ -202,6 +213,7 @@ class RenderConfig(NamedTuple):
     has_beam: bool = False       # static: scene contains a collimated emitter
     #   (set by the scene builder; compiles the beam-NEE machinery only when
     #   needed)
+    field: str = "shNormal"      # field-extraction integrator output
 
     @property
     def n_frames(self) -> int:
