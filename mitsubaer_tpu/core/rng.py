@@ -20,12 +20,13 @@ returns (value, new_sampler). All ops are uint32 VPU arithmetic.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 INDEPENDENT = 0
 LDS = 1
 
-_TWO_NEG_32 = jnp.float32(2.3283064365386963e-10)  # 2^-32
+_TWO_NEG_32 = np.float32(2.3283064365386963e-10)  # 2^-32 (np scalar, not jnp)
 
 
 def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:

@@ -49,7 +49,57 @@ def _sampler_mode(name: str) -> int:
             "ldsampler": rng.LDS, "stratified": rng.INDEPENDENT}.get(name, rng.INDEPENDENT)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sppc"), donate_argnums=(1,))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sppc", "has_direct", "any_het"),
+                   keep_unused=True)
+def render_pass_wavefront(scene: Scene, accum_L, cfg: RenderConfig, sppc: int,
+                          seed, pass_idx, has_direct: bool = True,
+                          any_het: bool = True):
+    """One spp chunk through the persistent-wavefront engine
+    (integrators/wavefront.py). accum_L is a (npix, 3) radiance sum; divide
+    by total spp to develop. Returns (accum_L, stats).
+
+    (keep_unused=True: see note above render_pass.)"""
+    from . import wavefront as wf_m
+
+    L, stats = wf_m.render_wavefront(
+        scene, cfg, sppc, seed, pass_idx, has_direct=has_direct,
+        any_het=any_het)
+    return accum_L + L, stats
+
+
+def _any_het(scene) -> bool:
+    import numpy as np
+
+    from ..scene.types import MED_HETEROGENEOUS
+
+    return bool(np.any(np.asarray(scene.media.kind) == MED_HETEROGENEOUS))
+
+
+def _use_wavefront(cfg: RenderConfig) -> bool:
+    if cfg.engine == "wavefront":
+        return True
+    if cfg.engine == "loop":
+        return False
+    return (cfg.integrator in ("volpath", "path")
+            and cfg.n_frames == 1 and cfg.modulation == "none"
+            and cfg.filter == "box")
+
+
+def _has_direct(scene) -> bool:
+    import numpy as np
+
+    from ..scene.types import EM_COLLIMATED
+
+    kinds = np.asarray(scene.emitters.kind)
+    return bool(np.any(kinds != EM_COLLIMATED)) and kinds.size > 0
+
+
+# NOTE: keep_unused=True everywhere a full Scene pytree is an argument: jax
+# 0.9's dropped-unused-argument bookkeeping diverges between the compiled
+# executable and the C++ fastpath dispatch once several such jits coexist
+# ("Execution supplied N buffers but compiled program expected N+k").
+@functools.partial(jax.jit, static_argnames=("cfg", "sppc"), keep_unused=True)
 def render_pass(scene: Scene, accum, cfg: RenderConfig, sppc: int, seed, pass_idx):
     """One spp chunk: sppc samples for every pixel."""
     H, W = cfg.height, cfg.width
@@ -91,7 +141,7 @@ def render_pass(scene: Scene, accum, cfg: RenderConfig, sppc: int, seed, pass_id
     return accum
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"), keep_unused=True)
 def beam_splat_pass(scene: Scene, splat, cfg: RenderConfig, n_samples: int,
                     seed, pass_idx):
     """Single-scatter light-tracing splat for collimated beam emitters: the
@@ -187,6 +237,8 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
     resumed render identical to an uninterrupted one)."""
     from ..utils import stats
 
+    if cfg is None and isinstance(scene, tuple) and len(scene) == 2:
+        scene, cfg = scene  # accept the (scene, cfg) pair presets return
     if cfg is None:
         cfg = RenderConfig()
     if spp is not None:
@@ -195,6 +247,40 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
     if spp_per_pass is None:
         # bound wavefront to ~2^21 lanes to fit memory comfortably
         spp_per_pass = max(1, min(cfg.spp, (1 << 21) // max(npix, 1)))
+    if _use_wavefront(cfg):
+        hd = _has_direct(scene)
+        L = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
+        done = 0
+        pass_idx = 0
+        if spp_per_pass is None:
+            # big per-pass sample budgets amortize the wavefront tail (the
+            # final samples of a pass run at decaying occupancy)
+            spp_per_pass = max(1, min(cfg.spp, 16))
+        with stats.timed("render.wall"):
+            while done < cfg.spp:
+                sppc = min(spp_per_pass, cfg.spp - done)
+                L, _ = render_pass_wavefront(
+                    scene, L, cfg, sppc, jnp.asarray(seed, jnp.uint32),
+                    jnp.asarray(pass_idx, jnp.uint32), has_direct=hd,
+                    any_het=_any_het(scene))
+                done += sppc
+                pass_idx += 1
+                stats.counter_add("render.passes")
+                stats.counter_add("render.camera_rays",
+                                  cfg.width * cfg.height * sppc)
+        img = (L / jnp.float32(cfg.spp)).reshape(cfg.height, cfg.width, 3)
+        if cfg.integrator.startswith("volpath") and _has_beam(scene):
+            n_splat = 4 * npix
+            splat = jnp.zeros((cfg.height, cfg.width, cfg.n_frames * 3),
+                              jnp.float32)
+            n_passes = 4
+            for i in range(n_passes):
+                splat = beam_splat_pass(
+                    scene, splat, cfg, n_splat,
+                    jnp.asarray(seed, jnp.uint32), jnp.asarray(i, jnp.uint32))
+            img = img + splat / (n_splat * n_passes)
+        return img
+
     accum = film_m.new_accumulator(cfg)
     done = 0
     pass_idx = 0

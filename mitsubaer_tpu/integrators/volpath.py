@@ -181,11 +181,16 @@ def sample_beam_point(beam: _Beam, p, u):
     return y, s, pdf, dist, to_p / dist[..., None]
 
 
-def build_beam_tau(scene, beam: _Beam, bricks, n: int = 128):
-    """Precomputed optical depth along the beam (midpoint quadrature, the
-    TPU analogue of the reference's Simpson integrateDensity,
-    heterogeneous.cpp:301): (n, 3) cumulative tau at bin centers. Evaluated
-    later by pure-VPU one-hot interpolation — no gathers in the hot loop."""
+def build_beam_tau(scene, beam: _Beam, bricks, n: int = 256):
+    """Precomputed optical-depth/density table along the beam (midpoint
+    quadrature, the TPU analogue of the reference's Simpson integrateDensity,
+    heterogeneous.cpp:301). Rows pack everything a beam-NEE evaluation needs
+    from the beam parameter s so the hot loop pays ONE row-gather:
+
+        row i = [tau_rgb(s_i), dtau_rgb(s_i), density(s_i)*scale, 0]   (n, 8)
+
+    (TPU gathers run at a fixed per-row rate, so consolidating the two tau
+    taps + the density tap into one row is a 3x saving.)"""
     si = beam.s0 + (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * (beam.s1 - beam.s0)
     pts = beam.o[None, :] + si[:, None] * beam.d[None, :]
     bmed = jnp.broadcast_to(beam.medium, (n,))
@@ -197,22 +202,27 @@ def build_beam_tau(scene, beam: _Beam, bricks, n: int = 128):
     st = (sa + ss) * dens[:, None]
     ds_ = (beam.s1 - beam.s0) / n
     dtau = st * ds_
-    return jnp.cumsum(dtau, axis=0) - 0.5 * dtau  # (n, 3)
+    tau = jnp.cumsum(dtau, axis=0) - 0.5 * dtau          # (n, 3) at centers
+    tau_next = jnp.concatenate([tau[1:], tau[-1:]], axis=0)
+    return jnp.concatenate(
+        [tau, tau_next - tau, dens[:, None], jnp.zeros((n, 1))], axis=-1)
 
 
-def beam_transmittance(beam: _Beam, tau_table, s):
-    """Tr(beam origin -> s) via one-hot interpolation of the tau table."""
+def beam_transmittance(beam: _Beam, tau_table, s, with_density: bool = False):
+    """Tr(beam origin -> s) (and optionally density(s)*scale) via ONE
+    row-gather + lerp of the packed table from build_beam_tau."""
     n = tau_table.shape[0]
     f = (s - beam.s0) / jnp.maximum(beam.s1 - beam.s0, 1e-9) * n - 0.5
     f = jnp.clip(f, 0.0, n - 1.0)
     i0 = jnp.floor(f).astype(jnp.int32)
     t = (f - i0)[..., None]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    oh0 = (lanes == i0[..., None]).astype(jnp.float32)
-    oh1 = (lanes == jnp.minimum(i0 + 1, n - 1)[..., None]).astype(jnp.float32)
-    tau = (oh0 @ tau_table) * (1.0 - t) + (oh1 @ tau_table) * t
+    row = jnp.take(tau_table, i0, axis=0)                             # (N,8)
+    tau = row[:, 0:3] + row[:, 3:6] * t
     tau = jnp.where((s < beam.s0)[..., None], 0.0, tau)
-    return jnp.exp(-tau)
+    tr = jnp.exp(-tau)
+    if with_density:
+        return tr, row[:, 6]
+    return tr
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,630 @@
+"""Persistent-wavefront volumetric path tracer (forward rendering engine).
+
+TPU-native redesign of the hot render loop. The previous engine
+(integrators/volpath.py) nests batch-synchronous `lax.while_loop`s: per
+bounce it runs a Woodcock loop, then a shadow-tracking loop, each at full
+wavefront width until the *slowest* lane converges — measured occupancy on
+the heterogeneous benchmark is a few percent, because every inner iteration
+pays a full-width density gather for mostly-idle lanes.
+
+This engine flattens everything into ONE loop over "super-iterations":
+
+  super-iteration = 1 event pass + T tracking iterations
+
+* The **event pass** (full width, masked) performs all per-bounce logic for
+  lanes whose free-flight/shadow tracking has resolved: emitter-hit/env
+  contributions, next-event estimation setup (emitter or collimated-beam
+  family), phase/BSDF direction sampling, Russian roulette, null-boundary
+  medium transitions, ray-segment intersection, and **path regeneration** —
+  a finished lane immediately starts its pixel's next sample, keeping
+  occupancy high for the whole pass instead of decaying with the wavefront
+  tail (the reference gets the same effect from its pull scheduler,
+  sched.cpp:427: idle workers immediately acquire new blocks).
+
+* Each **tracking iteration** advances every lane's pending heterogeneous
+  work by exactly one majorant jump: one fused density tap (bricked trilinear
+  gather) serves EITHER the lane's extension free-flight sampling (Woodcock,
+  heterogeneous.cpp:420) OR its shadow-ray ratio-tracking transmittance.
+  Lanes in vacuum/homogeneous media resolve analytically in the event pass
+  and never enter the tracking loop.
+
+Lane <-> pixel mapping is static (lane i serves pixel i for all its samples),
+so film accumulation is a per-lane add — no scatter. Box filter semantics
+(the per-sample jitter still moves the sub-pixel position, matching the
+reference's `box` rfilter).
+
+Feature scope: steady-state volpath (vacuum/homogeneous/heterogeneous media,
+all BSDF/phase/emitter models, MIS, attenuated NEE across null boundaries,
+collimated-beam NEE). Transient/ToF decompositions and the eikonal medium
+render through the loop engine (integrators/volpath.py, volpath_er.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.math import Frame, dot, mis_weight_power
+from ..models import bsdf as bsdf_m
+from ..models import emitter as emitter_m
+from ..models import medium as medium_m
+from ..models import phase as phase_m
+from ..models import sensor as sensor_m
+from ..scene import intersect as isect
+from ..scene.types import (
+    MED_HETEROGENEOUS,
+    MED_HOMOGENEOUS,
+    RenderConfig,
+    Scene,
+)
+from . import common
+from .volpath import (
+    _is_null_surface,
+    _shape_tables,
+    beam_transmittance,
+    build_beam_tau,
+    get_beam,
+    sample_beam_point,
+)
+
+
+class WFState(NamedTuple):
+    # path / extension segment
+    o: jnp.ndarray            # (n,3) current ray origin
+    d: jnp.ndarray            # (n,3) current ray direction
+    t_far: jnp.ndarray        # (n,) segment end (surface hit or scene exit)
+    hit_valid: jnp.ndarray    # (n,) segment ends on a surface
+    hit_shape: jnp.ndarray    # (n,) int32
+    hit_ng: jnp.ndarray       # (n,3)
+    throughput: jnp.ndarray   # (n,3)
+    medium: jnp.ndarray       # (n,) int32 current medium (-1 vacuum)
+    depth: jnp.ndarray        # (n,) int32
+    eta_scale: jnp.ndarray    # (n,)
+    last_pdf: jnp.ndarray     # (n,)
+    last_delta: jnp.ndarray   # (n,) bool
+    sample_idx: jnp.ndarray   # (n,) int32 sample number in this pass (-1 = none yet)
+    path_alive: jnp.ndarray   # (n,) bool
+    ext_need_isect: jnp.ndarray  # (n,) bool
+    ext_tracking: jnp.ndarray    # (n,) bool heterogeneous tracking in flight
+    ext_done: jnp.ndarray        # (n,) bool outcome ready
+    ext_scat: jnp.ndarray        # (n,) bool outcome: medium scatter
+    ext_t: jnp.ndarray           # (n,) tracking position / sampled distance
+    ext_w: jnp.ndarray           # (n,3) free-flight estimator weight
+    # shadow ray (one slot; NEE family chosen per bounce)
+    sh_active: jnp.ndarray    # (n,) bool
+    sh_need_isect: jnp.ndarray  # (n,) bool
+    sh_o: jnp.ndarray         # (n,3)
+    sh_d: jnp.ndarray         # (n,3)
+    sh_remaining: jnp.ndarray  # (n,) distance to light still to cover
+    sh_seg: jnp.ndarray       # (n,) current subsegment length
+    sh_t: jnp.ndarray         # (n,) tracking position in subsegment
+    sh_med: jnp.ndarray       # (n,) int32
+    sh_tr: jnp.ndarray        # (n,3) running transmittance
+    sh_val: jnp.ndarray       # (n,3) contribution if unoccluded
+    sh_hit_null: jnp.ndarray  # (n,) subsegment ends at null crossing
+    sh_cross_p: jnp.ndarray   # (n,3) crossing point
+    sh_cross_med: jnp.ndarray  # (n,) int32 medium beyond the crossing
+    # outputs / misc
+    pix: jnp.ndarray          # (n,) int32 pixel served by the current sample
+    sample_open: jnp.ndarray  # (n,) bool a sample is in flight / unflushed
+    L: jnp.ndarray            # (n,3) current-sample radiance accumulator
+    slots: jnp.ndarray        # (sppc,n,3) flushed per-sample radiance (the
+    #   lane->pixel map is a static rotation per sample slot, so the film is
+    #   reconstructed OUTSIDE the loop by sppc rolls — in-loop scatters
+    #   serialize catastrophically on TPU)
+    tap_ctr: jnp.ndarray      # (n,) uint32 tracking-RNG counter
+    sampler: object           # event-pass Sampler
+    n_segments: jnp.ndarray   # () uint32 ray segments traced (ext + shadow)
+    n_taps: jnp.ndarray       # () uint32 density taps
+    it: jnp.ndarray           # () int32 super-iteration counter
+
+
+def _tap_uniform(seed, lane, ctr):
+    """Cheap decorrelated per-tap uniform (counter-based)."""
+    bits = rng._hash_u32(
+        (lane ^ jnp.uint32(0x9E3779B9)) + ctr * jnp.uint32(0x85EBCA6B) + seed
+    )
+    return rng._u32_to_float(bits)
+
+
+def _medium_params(scene, idx):
+    return medium_m.params(scene.media, idx)
+
+
+def _is_het(scene, idx):
+    kind = _medium_params(scene, idx)[0]
+    return kind == MED_HETEROGENEOUS
+
+
+def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
+                pass_idx, n_lanes: int | None = None,
+                has_direct: bool = True, any_het: bool = True):
+    """Build the wavefront engine pieces for one render pass.
+
+    Returns (init_state, event_pass, tracking_iter, cond, finalize) so the
+    driver (render_wavefront) or profiling/test harnesses can step the
+    engine manually."""
+    H, W = cfg.height, cfg.width
+    npix = H * W
+    n = npix if n_lanes is None else n_lanes
+    assert n == npix, "v1: one lane per pixel"
+    eps = common.scene_epsilon(scene)
+    media = scene.media
+    bricks = medium_m.DensityBricks(media, dtype=jnp.bfloat16)
+    has_beam = cfg.has_beam
+    beam = get_beam(scene) if has_beam else None
+    beam_tau = build_beam_tau(scene, beam, bricks) if has_beam else None
+    # tracking iterations per event pass: heterogeneous scenes need several
+    # majorant jumps per bounce; surface/homogeneous scenes resolve in the
+    # event pass itself
+    T_TRACK = cfg.wf_track_iters if any_het else 0
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    seed = jnp.asarray(seed, jnp.uint32)
+    pass_idx = jnp.asarray(pass_idx, jnp.uint32)
+    f0 = jnp.zeros((n,), jnp.float32)
+    f3 = jnp.zeros((n, 3), jnp.float32)
+    b0 = jnp.zeros((n,), bool)
+    i0 = jnp.zeros((n,), jnp.int32)
+
+    mode = {"independent": rng.INDEPENDENT, "lds": rng.LDS,
+            "ldsampler": rng.LDS}.get(cfg.sampler, rng.INDEPENDENT)
+    sampler = rng.Sampler(lane=lane, index=jnp.zeros((n,), jnp.uint32),
+                          dim=jnp.zeros((n,), jnp.uint32), seed=seed, mode=mode)
+
+    st = WFState(
+        o=f3, d=jnp.concatenate([f3[:, :2], jnp.ones((n, 1))], axis=-1),
+        t_far=f0, hit_valid=b0, hit_shape=i0 - 1, hit_ng=f3,
+        throughput=f3, medium=i0 - 1, depth=i0, eta_scale=f0 + 1.0,
+        last_pdf=f0, last_delta=~b0, sample_idx=i0 - 1, path_alive=b0,
+        ext_need_isect=b0, ext_tracking=b0, ext_done=b0, ext_scat=b0,
+        ext_t=f0, ext_w=f3 + 1.0,
+        sh_active=b0, sh_need_isect=b0, sh_o=f3, sh_d=f3,
+        sh_remaining=f0, sh_seg=f0, sh_t=f0, sh_med=i0 - 1, sh_tr=f3,
+        sh_val=f3, sh_hit_null=b0, sh_cross_p=f3, sh_cross_med=i0 - 1,
+        pix=i0, sample_open=b0,
+        L=f3, slots=jnp.zeros((sppc, n, 3), jnp.float32),
+        tap_ctr=jnp.zeros((n,), jnp.uint32), sampler=sampler,
+        n_segments=jnp.zeros((), jnp.uint32),
+        n_taps=jnp.zeros((), jnp.uint32),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    max_super = sppc * (6 * cfg.max_depth + 16) + 64
+
+    # ------------------------------------------------------------------
+    def event_pass(st: WFState) -> WFState:
+        smp = st.sampler
+
+        # ---------- stage 1: shadow subsegment completion ----------
+        sh_done = st.sh_active & ~st.sh_need_isect & (st.sh_t >= st.sh_seg)
+        tr_dead = jnp.max(st.sh_tr, axis=-1) <= 0.0
+        # reached the light point
+        complete = sh_done & ~st.sh_hit_null
+        L = st.L + jnp.where(complete[..., None], st.sh_val * st.sh_tr, 0.0)
+        # null crossing: advance to the far side, request re-intersect
+        crossing = sh_done & st.sh_hit_null & ~tr_dead
+        sh_o = jnp.where(crossing[..., None],
+                         st.sh_cross_p + st.sh_d * eps, st.sh_o)
+        sh_remaining = jnp.where(
+            crossing, st.sh_remaining - st.sh_seg - eps, st.sh_remaining)
+        sh_med = jnp.where(crossing, st.sh_cross_med, st.sh_med)
+        still = crossing & (sh_remaining > eps)
+        sh_need_isect = st.sh_need_isect | still
+        sh_active = jnp.where(sh_done, still, st.sh_active)
+        sh_active = sh_active & ~(st.sh_active & tr_dead)
+
+        # ---------- stage 2: extension outcome processing ----------
+        proc = st.ext_done & ~sh_active & ~sh_need_isect & st.path_alive
+        m_p = st.o + st.ext_t[..., None] * st.d
+        tp = st.throughput * jnp.where(proc[..., None], st.ext_w, 1.0)
+        scattered = proc & st.ext_scat
+        escaped = proc & ~st.ext_scat & ~st.hit_valid
+        on_surface = proc & ~st.ext_scat & st.hit_valid
+
+        b_idx, e_idx, m_in, m_ex = _shape_tables(scene, st.hit_shape)
+        is_null = _is_null_surface(scene, b_idx)
+        hit_p = st.o + st.t_far[..., None] * st.d
+
+        # environment
+        env = emitter_m.env_radiance(scene, st.d)
+        env_pdf = emitter_m.pdf_direct_env(scene, st.d)
+        w_env = jnp.where(st.last_delta, 1.0,
+                          mis_weight_power(st.last_pdf, env_pdf))
+        L = L + jnp.where(escaped[..., None], tp * env * w_env[..., None], 0.0)
+
+        # emitter hit
+        hit_em = on_surface & (e_idx >= 0)
+        le = emitter_m.eval_hit(scene, e_idx, st.hit_ng, -st.d)
+        lum_pdf = emitter_m.pdf_direct_hit(scene, e_idx, st.o, hit_p, st.hit_ng)
+        w_hit = jnp.where(st.last_delta, 1.0,
+                          mis_weight_power(st.last_pdf, lum_pdf))
+        hide = cfg.hide_emitters & (st.depth == 1)
+        L = L + jnp.where((hit_em & ~hide)[..., None],
+                          tp * le * w_hit[..., None], 0.0)
+
+        depth_ok = st.depth < cfg.max_depth
+        vtx = jnp.where(scattered[..., None], m_p, hit_p)
+        nee_ok = (scattered | (on_surface & ~is_null)) & depth_ok
+
+        frame = Frame.from_normal(st.hit_ng)
+        wi_srf = frame.to_local(-st.d)
+
+        # ---------- NEE setup ----------
+        u_nee2, smp = rng.next_2d(smp)
+        u_nee1, smp = rng.next_1d(smp)
+        u_fam, smp = rng.next_1d(smp)
+
+        new_sh_active = b0
+        new_sh_d = st.sh_d
+        new_sh_o = st.sh_o
+        new_sh_rem = st.sh_remaining
+        new_sh_med = st.sh_med
+        new_sh_val = st.sh_val
+
+        if has_direct and has_beam:
+            use_beam = u_fam < 0.5
+            fam_w = 2.0
+        elif has_beam:
+            use_beam = jnp.ones((n,), bool)
+            fam_w = 1.0
+        else:
+            use_beam = b0
+            fam_w = 1.0
+
+        if has_direct:
+            ds = emitter_m.sample_direct(scene, vtx, u_nee2, u_nee1)
+            wo_srf = frame.to_local(ds.d)
+            f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf)
+            pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf)
+            f_med = phase_m.eval(media.phase, st.medium, st.d, ds.d)[..., None]
+            pdf_med = f_med[..., 0]
+            f_vtx = jnp.where(scattered[..., None], f_med, f_srf)
+            pdf_vtx = jnp.where(scattered, pdf_med, pdf_srf)
+            w_nee = jnp.where(ds.delta, 1.0, mis_weight_power(ds.pdf, pdf_vtx))
+            val = (tp * f_vtx * ds.value
+                   * (fam_w * w_nee / jnp.maximum(ds.pdf, 1e-12))[..., None])
+            ok = (nee_ok & ~use_beam & (ds.pdf > 0)
+                  & jnp.any(f_vtx > 0, axis=-1) & jnp.any(ds.value > 0, axis=-1))
+            srf_entering = dot(ds.d, st.hit_ng) < 0
+            nee_med = jnp.where(scattered, st.medium,
+                                jnp.where(srf_entering, m_in, m_ex))
+            new_sh_active = jnp.where(ok, True, new_sh_active)
+            sel = ok[..., None]
+            new_sh_d = jnp.where(sel, ds.d, new_sh_d)
+            new_sh_o = jnp.where(sel, vtx + ds.d * eps, new_sh_o)
+            new_sh_rem = jnp.where(ok, ds.dist - 2 * eps, new_sh_rem)
+            new_sh_med = jnp.where(ok, nee_med, new_sh_med)
+            new_sh_val = jnp.where(sel, val, new_sh_val)
+
+        if has_beam:
+            u_b, smp = rng.next_1d(smp)
+            y_b, s_b, pdf_sb, dist_b, d_yp = sample_beam_point(beam, vtx, u_b)
+            bmed = jnp.broadcast_to(beam.medium, (n,))
+            kind_b, sa_b, ss_b, _, scale_b = _medium_params(scene, bmed)
+            # tr AND density(y) come from the same packed table row (the
+            # density is table-interpolated along the beam — the same
+            # quadrature resolution the tau itself uses)
+            tr_beam, dens_tab = beam_transmittance(beam, beam_tau, s_b,
+                                                   with_density=True)
+            dens_b = jnp.where(kind_b == MED_HETEROGENEOUS, dens_tab,
+                               jnp.ones((n,)))
+            sigma_s_y = ss_b * dens_b[..., None]
+            rho_y = phase_m.eval(media.phase, bmed,
+                                 jnp.broadcast_to(beam.d, (n, 3)), d_yp)
+            bval = (beam.power * tr_beam * sigma_s_y
+                    * (rho_y / jnp.maximum(pdf_sb * dist_b * dist_b, 1e-12))[..., None])
+            f_srf_b = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf,
+                                  frame.to_local(-d_yp))
+            f_med_b = phase_m.eval(media.phase, st.medium, st.d, -d_yp)[..., None]
+            f_b = jnp.where(scattered[..., None], f_med_b, f_srf_b)
+            val_b = tp * f_b * bval * fam_w
+            ok_b = nee_ok & use_beam & jnp.any(val_b > 0, axis=-1)
+            selb = ok_b[..., None]
+            new_sh_active = jnp.where(ok_b, True, new_sh_active)
+            new_sh_d = jnp.where(selb, d_yp, new_sh_d)
+            new_sh_o = jnp.where(selb, y_b + d_yp * eps, new_sh_o)
+            new_sh_rem = jnp.where(ok_b, dist_b - 2 * eps, new_sh_rem)
+            new_sh_med = jnp.where(ok_b, bmed, new_sh_med)
+            new_sh_val = jnp.where(selb, val_b, new_sh_val)
+
+        # commit new shadow state only on proc lanes
+        setup = proc & new_sh_active
+        sh_active = sh_active | setup
+        sh_need_isect = sh_need_isect | setup
+        sel = setup[..., None]
+        sh_o = jnp.where(sel, new_sh_o, sh_o)
+        sh_d = jnp.where(sel, new_sh_d, st.sh_d)
+        sh_remaining = jnp.where(setup, new_sh_rem, sh_remaining)
+        sh_med = jnp.where(setup, new_sh_med, sh_med)
+        sh_val = jnp.where(sel, new_sh_val, st.sh_val)
+        sh_tr = jnp.where(sel, 1.0, st.sh_tr)
+
+        # ---------- direction sampling ----------
+        u_dir2, smp = rng.next_2d(smp)
+        u_dir1, smp = rng.next_1d(smp)
+        ps = phase_m.sample(media.phase, st.medium, st.d, u_dir2)
+        bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u_dir2, u_dir1)
+        wo_world = frame.to_world(bs.wo)
+        new_d = jnp.where(scattered[..., None], ps.wo, wo_world)
+        scatter_w = jnp.where(scattered[..., None], ps.weight[..., None],
+                              bs.weight)
+        new_pdf = jnp.where(scattered, ps.pdf, bs.pdf)
+        new_delta = jnp.where(scattered, False, bs.delta)
+
+        null_cross = on_surface & is_null
+        new_d = jnp.where(null_cross[..., None], st.d, new_d)
+        scatter_w = jnp.where(null_cross[..., None], 1.0, scatter_w)
+        new_delta = jnp.where(null_cross, st.last_delta, new_delta)
+        new_pdf = jnp.where(null_cross, st.last_pdf, new_pdf)
+
+        cross = on_surface & (
+            is_null
+            | (jnp.sum(new_d * st.hit_ng, -1) * jnp.sum(-st.d * st.hit_ng, -1) < 0))
+        entering = jnp.sum(new_d * st.hit_ng, -1) < 0
+        new_medium = jnp.where(cross, jnp.where(entering, m_in, m_ex), st.medium)
+
+        tp2 = tp * scatter_w
+        cont = (scattered | on_surface) & depth_ok
+        dead = jnp.all(tp2 <= 0, axis=-1)
+
+        eta_scale = st.eta_scale * jnp.where(on_surface, bs.eta, 1.0)
+        u_rr, smp = rng.next_1d(smp)
+        rr_exempt = null_cross
+        tp_rr, survive = common.russian_roulette(tp2, eta_scale, u_rr,
+                                                 st.depth, cfg)
+        tp2 = jnp.where(rr_exempt[..., None], tp2, tp_rr)
+        keep = cont & ~dead & (survive | rr_exempt)
+
+        finite = (jnp.all(jnp.isfinite(vtx), -1) & jnp.all(jnp.isfinite(new_d), -1)
+                  & jnp.all(jnp.isfinite(tp2), -1))
+        keep = keep & finite
+        tp2 = jnp.nan_to_num(tp2, posinf=0.0, neginf=0.0)
+
+        inc_depth = (scattered | (on_surface & ~is_null)) & keep
+        new_o = jnp.nan_to_num(vtx) + jnp.nan_to_num(new_d) * eps
+
+        # commit extension state for continuing lanes
+        path_alive = jnp.where(proc, keep, st.path_alive)
+        o = jnp.where((proc & keep)[..., None], new_o, st.o)
+        d = jnp.where((proc & keep)[..., None], jnp.nan_to_num(new_d), st.d)
+        throughput = jnp.where(proc[..., None], tp2, st.throughput)
+        depth = jnp.where(inc_depth, st.depth + 1, st.depth)
+        last_pdf = jnp.where(proc & keep, new_pdf, st.last_pdf)
+        last_delta = jnp.where(proc & keep, new_delta, st.last_delta)
+        medium = jnp.where(proc & keep, new_medium, st.medium)
+        ext_need = proc & keep
+        ext_done = jnp.where(proc, False, st.ext_done)
+
+        # ---------- sample flush + regeneration ----------
+        # a sample is complete when its path died and no shadow work remains;
+        # scatter its accumulated radiance to the film and free the lane
+        flush = (st.sample_open & ~path_alive & ~sh_active & ~sh_need_isect
+                 & ~st.ext_tracking & ~ext_need)
+        slots = st.slots
+        for j in range(sppc):
+            slots = slots.at[j].add(
+                jnp.where((flush & (st.sample_idx == j))[..., None], L, 0.0))
+        L = jnp.where(flush[..., None], 0.0, L)
+        sample_open = st.sample_open & ~flush
+
+        # rotated lane->pixel assignment: lane i serves pixels
+        # (i + j*STRIDE) mod npix for sample j — a bijection per sample, so
+        # every pixel receives exactly sppc samples, while each lane's work
+        # mixes cheap (background) and expensive (medium) pixels. This is the
+        # wavefront analogue of the reference's pull scheduler balancing
+        # heterogeneous blocks across workers (sched.cpp:427).
+        want = (~sample_open) & ~path_alive & (st.sample_idx + 1 < sppc) \
+            & ~sh_active & ~sh_need_isect & ~st.ext_tracking
+        new_idx = st.sample_idx + 1
+        sample_idx = jnp.where(want, new_idx, st.sample_idx)
+        stride = jnp.int32(104729 % npix)
+        new_pix = (lane.astype(jnp.int32)
+                   + new_idx * stride) % jnp.int32(npix)
+        pix = jnp.where(want, new_pix, st.pix)
+        sample_open = sample_open | want
+        smp_index = pass_idx * jnp.uint32(sppc) + sample_idx.astype(jnp.uint32)
+        smp = rng.Sampler(
+            lane=jnp.where(want, pix.astype(jnp.uint32), smp.lane),
+            index=jnp.where(want, smp_index, smp.index),
+            dim=jnp.where(want, jnp.uint32(0), smp.dim),
+            seed=smp.seed, mode=smp.mode,
+        )
+        u_jit, smp = rng.next_2d(smp)
+        u_lens, smp = rng.next_2d(smp)
+        px = (pix % W).astype(jnp.float32) + u_jit[:, 0]
+        py = (pix // W).astype(jnp.float32) + u_jit[:, 1]
+        rays = sensor_m.sample_rays(scene.sensor, px, py, W, H, u_lens=u_lens)
+        selr = want[..., None]
+        o = jnp.where(selr, rays.o, o)
+        d = jnp.where(selr, rays.d, d)
+        throughput = jnp.where(selr, 1.0, throughput)
+        medium = jnp.where(want, jnp.broadcast_to(
+            scene.camera_medium, (n,)).astype(jnp.int32), medium)
+        depth = jnp.where(want, 1, depth)
+        eta_scale = jnp.where(want, 1.0, eta_scale)
+        last_pdf = jnp.where(want, 0.0, last_pdf)
+        last_delta = jnp.where(want, True, last_delta)
+        path_alive = path_alive | want
+        ext_need = ext_need | want
+
+        # ---------- stage 3: extension intersect + analytic media ----------
+        hit = isect.intersect(scene.geo, o, d, jnp.full((n,), eps),
+                              jnp.full((n,), isect.INF))
+        _, t_scene = isect.ray_aabb(o, d, scene.aabb_min, scene.aabb_max)
+        seg_far = jnp.where(hit.valid, hit.t, jnp.maximum(t_scene, 0.0))
+        t_far = jnp.where(ext_need, seg_far, st.t_far)
+        hit_valid = jnp.where(ext_need, hit.valid, st.hit_valid)
+        hit_shape = jnp.where(ext_need, hit.shape_id, st.hit_shape)
+        hit_ng = jnp.where(ext_need[..., None], hit.ng, st.hit_ng)
+
+        kind_m, sa_m, ss_m, sw_m, _ = _medium_params(scene, medium)
+        u_hom, smp = rng.next_1d(smp)
+        uc_hom, smp = rng.next_1d(smp)
+        hs, ht, hw, _ = medium_m.sample_distance_homogeneous(
+            sa_m, ss_m, sw_m, t_far, u_hom, uc_hom)
+        in_hom = ext_need & (kind_m == MED_HOMOGENEOUS)
+        in_het = ext_need & (kind_m == MED_HETEROGENEOUS)
+        in_vac = ext_need & ~in_hom & ~in_het
+
+        ext_done2 = ext_done | in_hom | in_vac
+        ext_scat = jnp.where(in_hom, hs, jnp.where(in_vac, False, st.ext_scat))
+        ext_t = jnp.where(in_hom, ht, jnp.where(in_vac, t_far, st.ext_t))
+        ext_w = jnp.where(in_hom[..., None], hw,
+                          jnp.where(in_vac[..., None], 1.0, st.ext_w))
+        ext_tracking = jnp.where(ext_need, in_het, st.ext_tracking)
+        ext_t = jnp.where(in_het, 0.0, ext_t)
+        ext_w = jnp.where(in_het[..., None], 1.0, ext_w)
+
+        # ---------- stage 4: shadow intersect + analytic subsegments ----------
+        shx = sh_need_isect & sh_active
+        shit = isect.intersect(scene.geo, sh_o, sh_d,
+                               jnp.full((n,), eps * 0.5),
+                               jnp.maximum(sh_remaining - eps, 0.0))
+        sb_idx, _, sm_in, sm_ex = _shape_tables(scene, shit.shape_id)
+        s_null = _is_null_surface(scene, sb_idx)
+        blocked = shx & shit.valid & ~s_null
+        sh_active = sh_active & ~blocked
+        hitting = shx & shit.valid & s_null
+        sh_seg = jnp.where(shx, jnp.where(shit.valid, shit.t, sh_remaining),
+                           st.sh_seg)
+        sh_hit_null = jnp.where(shx, hitting, st.sh_hit_null)
+        s_enter = dot(sh_d, shit.ng) < 0
+        sh_cross_med = jnp.where(hitting, jnp.where(s_enter, sm_in, sm_ex),
+                                 st.sh_cross_med)
+        sh_cross_p = jnp.where(hitting[..., None], shit.p, st.sh_cross_p)
+
+        skind, ssa, sss, _, _ = _medium_params(scene, sh_med)
+        s_hom = shx & sh_active & (skind == MED_HOMOGENEOUS)
+        s_het = shx & sh_active & (skind == MED_HETEROGENEOUS)
+        s_vac = shx & sh_active & ~s_hom & ~s_het
+        tr_h = medium_m.eval_transmittance_homogeneous(ssa, sss, sh_seg)
+        sh_tr = jnp.where(s_hom[..., None], sh_tr * tr_h, sh_tr)
+        # analytic subsegments are immediately "tracked to completion"
+        sh_t = jnp.where(s_hom | s_vac, sh_seg,
+                         jnp.where(s_het, 0.0, st.sh_t))
+        sh_need_isect = sh_need_isect & ~shx
+
+        # counters (exact in uint32 for any realistic pass)
+        n_segments = st.n_segments + jnp.sum(ext_need).astype(jnp.uint32) \
+            + jnp.sum(shx).astype(jnp.uint32)
+
+        return WFState(
+            o=o, d=d, t_far=t_far, hit_valid=hit_valid, hit_shape=hit_shape,
+            hit_ng=hit_ng, throughput=throughput, medium=medium, depth=depth,
+            eta_scale=eta_scale, last_pdf=last_pdf, last_delta=last_delta,
+            sample_idx=sample_idx, path_alive=path_alive,
+            ext_need_isect=b0, ext_tracking=ext_tracking, ext_done=ext_done2,
+            ext_scat=ext_scat, ext_t=ext_t, ext_w=ext_w,
+            sh_active=sh_active, sh_need_isect=sh_need_isect, sh_o=sh_o,
+            sh_d=sh_d, sh_remaining=sh_remaining, sh_seg=sh_seg, sh_t=sh_t,
+            sh_med=sh_med, sh_tr=sh_tr, sh_val=sh_val,
+            sh_hit_null=sh_hit_null, sh_cross_p=sh_cross_p,
+            sh_cross_med=sh_cross_med,
+            pix=pix, sample_open=sample_open,
+            L=L, slots=slots, tap_ctr=st.tap_ctr, sampler=smp,
+            n_segments=n_segments, n_taps=st.n_taps, it=st.it + 1,
+        )
+
+    # ------------------------------------------------------------------
+    def tracking_iter(st: WFState) -> WFState:
+        """One majorant jump per lane: shadow ratio-tracking has priority,
+        otherwise extension Woodcock."""
+        do_sh = st.sh_active & ~st.sh_need_isect & (st.sh_t < st.sh_seg)
+        do_ext = ~do_sh & st.ext_tracking
+        any_work = do_sh | do_ext
+
+        med = jnp.where(do_sh, st.sh_med, st.medium)
+        kind, sa, ss, _, scale = _medium_params(scene, med)
+        st_color = sa + ss
+        st_mean = jnp.mean(st_color, axis=-1)
+        majorant = jax.lax.stop_gradient(jnp.maximum(
+            media.majorant * jnp.max(st_color, axis=-1), 1e-6))
+
+        u1 = _tap_uniform(seed, lane, st.tap_ctr)
+        u2 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(1))
+        tap_ctr = st.tap_ctr + jnp.where(any_work, jnp.uint32(2), jnp.uint32(0))
+
+        t_cur = jnp.where(do_sh, st.sh_t, st.ext_t)
+        t_new = t_cur - jnp.log1p(-u1) / majorant
+        o_cur = jnp.where(do_sh[..., None], st.sh_o, st.o)
+        d_cur = jnp.where(do_sh[..., None], st.sh_d, st.d)
+        p = o_cur + t_new[..., None] * d_cur
+        dens = bricks.lookup(p) * scale
+
+        # --- extension: Woodcock collision test (mean channel) ---
+        t_lim = st.t_far
+        escaped = t_new >= t_lim
+        p_real = dens * st_mean / majorant
+        real = u2 < p_real
+        hit_new = do_ext & ~escaped & real
+        null_col = do_ext & ~escaped & ~real
+        w_real = ss / jnp.maximum(st_mean, 1e-12)[..., None]
+        w_null = (1.0 - dens[..., None] * st_color / majorant[..., None]) / (
+            jnp.maximum(1.0 - p_real, 1e-12)[..., None])
+        ext_w = jnp.where(hit_new[..., None], st.ext_w * w_real, st.ext_w)
+        ext_w = jnp.where(null_col[..., None], st.ext_w * w_null, ext_w)
+        ext_t = jnp.where(do_ext, jnp.minimum(t_new, t_lim), st.ext_t)
+        ext_resolved = do_ext & (hit_new | escaped)
+        ext_tracking = st.ext_tracking & ~ext_resolved
+        ext_done = st.ext_done | ext_resolved
+        ext_scat = jnp.where(ext_resolved, hit_new, st.ext_scat)
+
+        # --- shadow: ratio tracking ---
+        sh_escaped = t_new >= st.sh_seg
+        factor = 1.0 - dens[..., None] * st_color / majorant[..., None]
+        upd = do_sh & ~sh_escaped
+        sh_tr = jnp.where(upd[..., None], st.sh_tr * factor, st.sh_tr)
+        sh_t = jnp.where(do_sh, jnp.where(sh_escaped, st.sh_seg, t_new), st.sh_t)
+
+        n_taps = st.n_taps + jnp.sum(any_work).astype(jnp.uint32)
+
+        return st._replace(
+            ext_tracking=ext_tracking, ext_done=ext_done, ext_scat=ext_scat,
+            ext_t=ext_t, ext_w=ext_w, sh_tr=jnp.maximum(sh_tr, 0.0),
+            sh_t=sh_t, tap_ctr=tap_ctr, n_taps=n_taps,
+        )
+
+    # ------------------------------------------------------------------
+    def cond(st: WFState):
+        pending = (st.path_alive | st.sh_active | st.ext_tracking
+                   | st.ext_done | st.sample_open
+                   | (st.sample_idx + 1 < sppc))
+        return jnp.any(pending) & (st.it < max_super)
+
+    def finalize(st: WFState):
+        unfinished = jnp.sum(st.sample_open
+                             | (st.sample_idx + 1 < sppc)).astype(jnp.uint32)
+        stats = (st.n_segments, st.n_taps, st.it, unfinished)
+        # film[p] = sum_j slots[j, (p - j*stride) mod npix]
+        stride = 104729 % npix
+        film = st.slots[0]
+        for j in range(1, sppc):
+            film = film + jnp.roll(st.slots[j], j * stride, axis=0)
+        return film, stats
+
+    return st, event_pass, tracking_iter, cond, finalize
+
+
+def render_wavefront(scene: Scene, cfg: RenderConfig, sppc: int, seed,
+                     pass_idx, n_lanes: int | None = None,
+                     has_direct: bool = True, any_het: bool = True):
+    """Render sppc samples/pixel; returns ((npix,3) radiance sum, stats).
+
+    stats = (segments uint32, taps uint32, super_iterations int32,
+    unfinished uint32)."""
+    st, event_pass, tracking_iter, cond, finalize = make_engine(
+        scene, cfg, sppc, seed, pass_idx, n_lanes=n_lanes,
+        has_direct=has_direct, any_het=any_het)
+    T_TRACK = cfg.wf_track_iters if any_het else 0
+
+    def super_iter(s: WFState) -> WFState:
+        s = event_pass(s)
+        if T_TRACK:
+            s = jax.lax.fori_loop(0, T_TRACK, lambda i, x: tracking_iter(x), s)
+        return s
+
+    st = jax.lax.while_loop(cond, super_iter, st)
+    return finalize(st)

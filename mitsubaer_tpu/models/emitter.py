@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..core import warp
@@ -24,7 +25,7 @@ from ..scene.types import (
     Scene,
 )
 
-_BIG = jnp.float32(1.0e7)
+_BIG = np.float32(1.0e7)
 
 
 class DirectSample(NamedTuple):

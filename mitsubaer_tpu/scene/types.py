@@ -214,6 +214,11 @@ class RenderConfig(NamedTuple):
     #   (set by the scene builder; compiles the beam-NEE machinery only when
     #   needed)
     field: str = "shNormal"      # field-extraction integrator output
+    engine: str = "auto"         # auto | loop | wavefront (forward engine;
+    #   "auto" picks the persistent-wavefront engine for steady-state
+    #   path/volpath renders with a box filter)
+    wf_track_iters: int = 4      # wavefront engine: heterogeneous tracking
+    #   iterations per event pass (tune to the scene's taps-per-bounce)
 
     @property
     def n_frames(self) -> int:
