@@ -40,9 +40,10 @@ def main():
             has_direct=False, any_het=True,
         )
 
-    # warmup / compile
+    # warmup / compile. NOTE: through the axon tunnel block_until_ready can
+    # return before execution finishes — force a real device->host fetch.
     L, stats = one_pass(L, jnp.asarray(0, jnp.uint32))
-    jax.block_until_ready(L)
+    _ = float(L.sum()) + int(stats[0])
 
     n_iters = 3
     segs = 0
@@ -50,7 +51,7 @@ def main():
     for i in range(1, n_iters + 1):
         L, stats = one_pass(L, jnp.asarray(i, jnp.uint32))
         segs += int(stats[0])
-    jax.block_until_ready(L)
+    _ = float(L.sum())
     dt = time.perf_counter() - t0
 
     samples = npix * sppc * n_iters
