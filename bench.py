@@ -28,7 +28,7 @@ def main():
         res=res, spp=sppc, heterogeneous=True, density_res=64,
         max_depth=max_depth,
     )
-    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=6)
+    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3)
     scene = jax.device_put(scene)
     npix = res * res
 

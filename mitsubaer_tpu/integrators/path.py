@@ -13,6 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import smalltab
 from ..core.math import Frame, dot, mis_weight_power, normalize
 from ..models import bsdf as bsdf_m
 from ..models import emitter as emitter_m
@@ -75,7 +76,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
         )
 
         # ----- emitter hit -----
-        shape_em = jnp.take(scene.shapes.emitter, jnp.clip(hit.shape_id, 0, scene.shapes.emitter.shape[0] - 1))
+        shape_em = smalltab.take(scene.shapes.emitter, jnp.clip(hit.shape_id, 0, scene.shapes.emitter.shape[0] - 1))
         shape_em = jnp.where(hit.shape_id >= 0, shape_em, -1)
         hit_emitter = s.active & hit.valid & (shape_em >= 0)
         le = emitter_m.eval_hit(scene, shape_em, hit.ng, -s.d)
@@ -92,7 +93,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
         # flip shading normal to the incident side (two-sided shading for
         # diffuse walls; dielectric uses the signed cosine via the frame)
         ng = hit.ng
-        bsdf_idx = jnp.take(scene.shapes.bsdf, jnp.clip(hit.shape_id, 0, scene.shapes.bsdf.shape[0] - 1))
+        bsdf_idx = smalltab.take(scene.shapes.bsdf, jnp.clip(hit.shape_id, 0, scene.shapes.bsdf.shape[0] - 1))
         bsdf_idx = jnp.where(hit.shape_id >= 0, bsdf_idx, -1)
         frame = Frame.from_normal(ng)
         wi = frame.to_local(-s.d)

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rng
+from ..core import rng, smalltab
 from ..core.math import Frame, dot, length, mis_weight_power, normalize
 from ..models import bsdf as bsdf_m
 from ..models import emitter as emitter_m
@@ -50,16 +50,16 @@ def _shape_tables(scene, shape_id):
     ns = scene.shapes.bsdf.shape[0]
     i = jnp.clip(shape_id, 0, ns - 1)
     ok = shape_id >= 0
-    b = jnp.where(ok, jnp.take(scene.shapes.bsdf, i), -1)
-    e = jnp.where(ok, jnp.take(scene.shapes.emitter, i), -1)
-    mi = jnp.where(ok, jnp.take(scene.shapes.interior, i), -1)
-    mx = jnp.where(ok, jnp.take(scene.shapes.exterior, i), -1)
+    b = jnp.where(ok, smalltab.take(scene.shapes.bsdf, i), -1)
+    e = jnp.where(ok, smalltab.take(scene.shapes.emitter, i), -1)
+    mi = jnp.where(ok, smalltab.take(scene.shapes.interior, i), -1)
+    mx = jnp.where(ok, smalltab.take(scene.shapes.exterior, i), -1)
     return b, e, mi, mx
 
 
 def _is_null_surface(scene, bsdf_idx):
     nb = scene.bsdfs.kind.shape[0]
-    kind = jnp.take(scene.bsdfs.kind, jnp.clip(bsdf_idx, 0, nb - 1))
+    kind = smalltab.take(scene.bsdfs.kind, jnp.clip(bsdf_idx, 0, nb - 1))
     return (bsdf_idx < 0) | (kind == BSDF_NULL)
 
 
@@ -216,7 +216,7 @@ def beam_transmittance(beam: _Beam, tau_table, s, with_density: bool = False):
     f = jnp.clip(f, 0.0, n - 1.0)
     i0 = jnp.floor(f).astype(jnp.int32)
     t = (f - i0)[..., None]
-    row = jnp.take(tau_table, i0, axis=0)                             # (N,8)
+    row = smalltab.onehot_take(tau_table, i0)                         # (N,8)
     tau = row[:, 0:3] + row[:, 3:6] * t
     tau = jnp.where((s < beam.s0)[..., None], 0.0, tau)
     tr = jnp.exp(-tau)

@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rng
+from ..core import rng, smalltab
 from ..core.math import Frame, dot, fresnel_dielectric, length, mis_weight_power, normalize
 from ..models import bsdf as bsdf_m
 from ..models import eikonal as ek
@@ -125,9 +125,9 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         ns_ = scene.shapes.bsdf.shape[0]
         sid = jnp.clip(hit.shape_id, 0, ns_ - 1)
         ok_s = hit.shape_id >= 0
-        b_idx = jnp.where(ok_s, jnp.take(scene.shapes.bsdf, sid), -1)
-        e_idx = jnp.where(ok_s, jnp.take(scene.shapes.emitter, sid), -1)
-        m_in = jnp.where(ok_s, jnp.take(scene.shapes.interior, sid), -1)
+        b_idx = jnp.where(ok_s, smalltab.take(scene.shapes.bsdf, sid), -1)
+        e_idx = jnp.where(ok_s, smalltab.take(scene.shapes.emitter, sid), -1)
+        m_in = jnp.where(ok_s, smalltab.take(scene.shapes.interior, sid), -1)
         is_ref_boundary = ok_s & (m_in == med_idx) & jnp.any(media.kind == MED_REFRACTIVE)
 
         hide = cfg.hide_emitters & (s.depth == 1)

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..core import warp
+from ..core import smalltab, warp
 from ..core.math import (
     INV_PI,
     abs_cos_theta,
@@ -56,7 +56,7 @@ class BSDFSample(NamedTuple):
 
 def _params(bs: BSDFs, idx):
     i = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
-    take = lambda a: jnp.take(a, i, axis=0)
+    take = lambda a: smalltab.take(a, i)
     return (
         jnp.where(idx >= 0, take(bs.kind), BSDF_NULL),
         take(bs.reflectance),

@@ -13,7 +13,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import warp
+from ..core import smalltab, warp
 from ..core.math import dot, length, normalize
 from ..scene.types import (
     EM_AREA,
@@ -43,8 +43,8 @@ def _sample_area_position(scene: Scene, e_idx, u2, u_tri):
     """Pick a triangle from the emitter's CDF segment + uniform barycentrics.
     Returns (p, n, pdf_area)."""
     em = scene.emitters
-    off = jnp.take(em.tri_offset, e_idx)
-    cnt = jnp.take(em.tri_count, e_idx)
+    off = smalltab.take(em.tri_offset, e_idx)
+    cnt = smalltab.take(em.tri_count, e_idx)
     M = em.tri_cdf.shape[0]
     # masked searchsorted across the flat table: index of first cdf >= u within segment
     slots = jnp.arange(M)
@@ -56,15 +56,15 @@ def _sample_area_position(scene: Scene, e_idx, u2, u_tri):
     has = jnp.any(candidate, axis=-1)
     last = jnp.clip(off + cnt - 1, 0, M - 1)
     slot = jnp.where(has, first, last)
-    tri = jnp.take(em.tri_index, slot)
+    tri = smalltab.take(em.tri_index, slot)
 
-    v0 = jnp.take(scene.geo.v0, tri, axis=0)
-    e1 = jnp.take(scene.geo.e1, tri, axis=0)
-    e2 = jnp.take(scene.geo.e2, tri, axis=0)
-    n = jnp.take(scene.geo.ng, tri, axis=0)
+    v0 = smalltab.take(scene.geo.v0, tri)
+    e1 = smalltab.take(scene.geo.e1, tri)
+    e2 = smalltab.take(scene.geo.e2, tri)
+    n = smalltab.take(scene.geo.ng, tri)
     b = warp.square_to_uniform_triangle(u2)
     p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    area = jnp.take(em.area, e_idx)
+    area = smalltab.take(em.area, e_idx)
     pdf_area = 1.0 / jnp.maximum(area, 1e-12)
     return p, n, pdf_area
 
@@ -80,10 +80,10 @@ def sample_direct(scene: Scene, ref_p, u2, u_sel) -> DirectSample:
     pick_pdf = 1.0 / ne
     u_tri = jnp.minimum(u_sel * ne - e_idx, 0.9999994)  # reuse stratum remainder
 
-    kind = jnp.take(em.kind, e_idx)
-    radiance = jnp.take(em.radiance, e_idx, axis=0)
-    pos = jnp.take(em.position, e_idx, axis=0)
-    edir = jnp.take(em.direction, e_idx, axis=0)
+    kind = smalltab.take(em.kind, e_idx)
+    radiance = smalltab.take(em.radiance, e_idx)
+    pos = smalltab.take(em.position, e_idx)
+    edir = smalltab.take(em.direction, e_idx)
 
     # --- area ---
     p_area, n_area, pdf_area = _sample_area_position(scene, e_idx, u2, u_tri)
@@ -105,8 +105,8 @@ def sample_direct(scene: Scene, ref_p, u2, u_sel) -> DirectSample:
 
     # --- spot: point + falloff (spot.cpp) ---
     cos_spot = dot(-d_p, edir)
-    cutoff = jnp.take(em.cutoff_cos, e_idx)
-    beam = jnp.take(em.beam_falloff_cos, e_idx)
+    cutoff = smalltab.take(em.cutoff_cos, e_idx)
+    beam = smalltab.take(em.beam_falloff_cos, e_idx)
     falloff = jnp.clip((cos_spot - cutoff) / jnp.maximum(beam - cutoff, 1e-6), 0.0, 1.0)
     val_s = val_p * falloff[..., None]
 
@@ -156,8 +156,8 @@ def eval_hit(scene: Scene, emitter_id, ng, wi_world):
     from the surface toward the viewer). Zero for back side."""
     em = scene.emitters
     e = jnp.clip(emitter_id, 0, em.kind.shape[0] - 1)
-    radiance = jnp.take(em.radiance, e, axis=0)
-    is_area = jnp.take(em.kind, e) == EM_AREA
+    radiance = smalltab.take(em.radiance, e)
+    is_area = smalltab.take(em.kind, e) == EM_AREA
     front = dot(wi_world, ng) > 0
     return jnp.where(
         (is_area & front & (emitter_id >= 0))[..., None], radiance, 0.0
@@ -170,7 +170,7 @@ def pdf_direct_hit(scene: Scene, emitter_id, ref_p, p, ng):
     em = scene.emitters
     ne = em.kind.shape[0]
     e = jnp.clip(emitter_id, 0, ne - 1)
-    area = jnp.take(em.area, e)
+    area = smalltab.take(em.area, e)
     to_p = p - ref_p
     d2 = dot(to_p, to_p)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))

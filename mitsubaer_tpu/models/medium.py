@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import rng, spline
+from ..core import smalltab
 from ..scene.types import MED_HETEROGENEOUS, MED_HOMOGENEOUS, Media
 
 _INF = np.float32(3.0e38)
@@ -54,7 +55,7 @@ class MediumSample(NamedTuple):
 
 def params(media: Media, idx):
     i = jnp.clip(idx, 0, media.kind.shape[0] - 1)
-    take = lambda a: jnp.take(a, i, axis=0)
+    take = lambda a: smalltab.take(a, i)
     return (
         jnp.where(idx >= 0, take(media.kind), -1),
         take(media.sigma_a),
@@ -212,7 +213,7 @@ def sample_distance_homogeneous(sigma_a, sigma_s, sampling_weight, t_max, u, uc)
     u_resc = jnp.where(in_medium, uc / jnp.maximum(w, 1e-9), 0.0)
     # balance: pick a channel uniformly, exponential in that channel's sigma_t
     ch = jnp.clip((u * nch).astype(jnp.int32), 0, nch - 1)
-    dens = jnp.take_along_axis(sigma_t, ch[..., None], axis=-1)[..., 0]
+    dens = smalltab.take3(sigma_t, ch)
     dens = jax.lax.stop_gradient(jnp.maximum(dens, 1e-20))
     t_sample = -jnp.log1p(-u_resc) / dens
     t_sample = jnp.where(in_medium, t_sample, _INF)

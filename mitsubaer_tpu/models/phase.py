@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import warp
+from ..core import smalltab, warp
 from ..core.math import INV_FOURPI, Frame, dot, safe_sqrt
 from ..scene.types import PH_HG, PH_ISOTROPIC, PH_RAYLEIGH, PhaseTable
 
@@ -30,7 +30,7 @@ class PhaseSample(NamedTuple):
 
 def _params(ph: PhaseTable, idx):
     i = jnp.clip(idx, 0, ph.kind.shape[0] - 1)
-    return jnp.take(ph.kind, i), jnp.take(ph.g, i)
+    return smalltab.take(ph.kind, i), smalltab.take(ph.g, i)
 
 
 def _eval_kinds(kind, g, cos_forward):

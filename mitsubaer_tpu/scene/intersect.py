@@ -16,8 +16,13 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ..core import smalltab
 from ..core.math import dot, cross, safe_sqrt
 from .types import Geometry
+
+# Small scenes keep per-prim fetches as select chains (see core/smalltab.py);
+# the unrolled-intersector threshold (64) is the natural cutover.
+_TAKE_UNROLL = 64
 
 INF = np.float32(3.0e38)  # np scalar: jnp module constants become captured
 # buffers that break the jax-0.9 dispatch fastpath (see integrators/render.py)
@@ -136,7 +141,8 @@ def intersect_triangles(geo: Geometry, o, d, t_min, t_max):
 
     in_range = (t >= t_min) & (t <= t_max) & (t < INF)
     # mask out padding / invalid prims
-    valid_prim = jnp.take(geo.shape_id, jnp.clip(prim, 0, T - 1)) >= 0
+    valid_prim = smalltab.take(
+        geo.shape_id, jnp.clip(prim, 0, T - 1), max_unroll=_TAKE_UNROLL) >= 0
     ok = in_range & valid_prim
     return t, prim, u, v, ok
 
@@ -196,16 +202,17 @@ def intersect(geo: Geometry, o, d, t_min, t_max) -> Hit:
     p = o + jnp.where(valid, t, 0.0)[:, None] * d
 
     Tn = geo.v0.shape[0]
-    tri_ng = jnp.take(geo.ng, jnp.clip(tprim, 0, Tn - 1), axis=0)
-    tri_shape = jnp.take(geo.shape_id, jnp.clip(tprim, 0, Tn - 1))
-    sph_c = jnp.take(geo.sph_center, sprim, axis=0)
-    sph_r = jnp.take(geo.sph_radius, sprim)
+    tprim_c = jnp.clip(tprim, 0, Tn - 1)
+    tri_ng = smalltab.take(geo.ng, tprim_c, max_unroll=_TAKE_UNROLL)
+    tri_shape = smalltab.take(geo.shape_id, tprim_c, max_unroll=_TAKE_UNROLL)
+    sph_c = smalltab.take(geo.sph_center, sprim)
+    sph_r = smalltab.take(geo.sph_radius, sprim)
     # normalize instead of dividing by the radius: dummy radius-0 sphere
     # slots would otherwise produce ~1e20 "normals" that overflow downstream
     from ..core.math import normalize as _normalize
 
     sph_ng = _normalize(p - sph_c)
-    sph_shape = jnp.take(geo.sph_shape_id, sprim)
+    sph_shape = smalltab.take(geo.sph_shape_id, sprim)
 
     ng = jnp.where(use_sph[:, None], sph_ng, tri_ng)
     shape_id = jnp.where(use_sph, sph_shape, tri_shape)
