@@ -55,6 +55,12 @@ class _State(NamedTuple):
     plen: jnp.ndarray         # OPTICAL path length
     last_pdf: jnp.ndarray
     last_delta: jnp.ndarray
+    from_medium: jnp.ndarray  # (N,) bool: most recent non-delta event was a
+    #   medium scatter inside the refractive body. Such transport to area
+    #   emitters is estimated EXCLUSIVELY by the curved-NEE family (the
+    #   phase-sampled exit chain is all-delta, so an emitter hit would
+    #   otherwise be double-counted at full weight — there is no tractable
+    #   solid-angle pdf through the solved BVP to MIS the two families).
     iters: jnp.ndarray
     sampler: object
 
@@ -95,6 +101,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         plen=jnp.zeros((n,), jnp.float32),
         last_pdf=jnp.zeros((n,), jnp.float32),
         last_delta=jnp.ones((n,), bool),
+        from_medium=jnp.zeros((n,), bool),
         iters=jnp.zeros((), jnp.int32),
         sampler=sampler,
     )
@@ -131,7 +138,9 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         is_ref_boundary = ok_s & (m_in == med_idx) & jnp.any(media.kind == MED_REFRACTIVE)
 
         hide = cfg.hide_emitters & (s.depth == 1)
-        hit_emitter = out_act & hit.valid & (e_idx >= 0)
+        # medium-scatter -> area-emitter transport is owned by curved NEE
+        # (see _State.from_medium) — drop the hit-family contribution there
+        hit_emitter = out_act & hit.valid & (e_idx >= 0) & ~s.from_medium
         le = emitter_m.eval_hit(scene, e_idx, hit.ng, -d_out)
         lum_pdf = emitter_m.pdf_direct_hit(scene, e_idx, s.o, hit.p, hit.ng)
         w_hit = jnp.where(s.last_delta, 1.0, mis_weight_power(s.last_pdf, lum_pdf))
@@ -233,17 +242,47 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         u2n, smp = rng.next_2d(smp)
         u1n, smp = rng.next_1d(smp)
         dsm = emitter_m.sample_direct(scene, p_m, u2n, u1n)
-        nee_in = scattered & depth_ok & (dsm.pdf > 0) & jnp.any(dsm.value > 0, axis=-1)
+        # constant/env emitters have no finite connection point for the BVP;
+        # their transport is estimated by the escape-hit family instead
+        from ..scene.types import EM_CONSTANT
+        dsm_kind = smalltab.take(scene.emitters.kind, dsm.emitter)
+        nee_in = (scattered & depth_ok & (dsm.pdf > 0)
+                  & jnp.any(dsm.value > 0, axis=-1) & (dsm_kind != EM_CONSTANT))
         chord = normalize(dsm.p - p_m)
         bvp = ek.solve_bvp(
             rif, sdf, p_m, dsm.p, chord, h, max_march, nee_in,
             tol2=cfg.bvp_tol2, differentiable=differentiable,
         )
-        # russian roulette on non-convergence (reference :1146-1155)
+        # russian-roulette retry of failed solves from a random restart
+        # direction in the hemisphere around the chord, compensated by
+        # 1/rr_weight (reference heterogeneousrefractive.cpp:1078-1084,
+        # :1146-1155 — failed Ceres solves are RR'd into fresh restarts
+        # rather than silently dropped, which would bias hard connections
+        # toward zero)
         u_rr_b, smp = rng.next_1d(smp)
+        u2r, smp = rng.next_2d(smp)
         rr_keep = u_rr_b < cfg.rr_weight
-        bvp_ok = bvp.converged | rr_keep  # kept-but-unconverged contributes 0
-        conn_w = jnp.where(bvp.converged, 1.0, 0.0)
+        retry_act = nee_in & ~bvp.converged & rr_keep
+
+        def _retry(_):
+            frame_c = Frame.from_normal(chord)
+            from ..core import warp as warp_m
+            d_loc = warp_m.square_to_uniform_hemisphere(u2r)
+            d_restart = frame_c.to_world(d_loc)
+            return ek.solve_bvp(
+                rif, sdf, p_m, dsm.p, d_restart, h, max_march, retry_act,
+                tol2=cfg.bvp_tol2, differentiable=differentiable,
+            )
+
+        bvp2 = jax.lax.cond(jnp.any(retry_act), _retry, lambda _: bvp, None)
+        use2 = retry_act & bvp2.converged
+        bvp = jax.tree.map(
+            lambda a, b: jnp.where(
+                use2.reshape(use2.shape + (1,) * (a.ndim - 1)), b, a),
+            bvp, bvp2)
+        bvp_ok = bvp.converged
+        conn_w = jnp.where(bvp.converged,
+                           jnp.where(use2, 1.0 / cfg.rr_weight, 1.0), 0.0)
         d_in_m = normalize(v_m)
         ph_val = phase_m.eval(media.phase,
                               jnp.broadcast_to(med_idx, (n,)),
@@ -356,6 +395,8 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         new_o = jnp.nan_to_num(new_o, posinf=0.0, neginf=0.0)
         new_v = jnp.nan_to_num(new_v, nan=1.0, posinf=1.0, neginf=-1.0)
         throughput = jnp.nan_to_num(throughput, posinf=0.0, neginf=0.0)
+        new_from_medium = jnp.where(
+            scattered, True, jnp.where(cont_srf, False, s.from_medium))
         return _State(
             o=jnp.where(active[..., None], new_o, s.o),
             v=jnp.where(active[..., None], new_v, s.v),
@@ -367,6 +408,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
             plen=jnp.where(active, plen_new, s.plen),
             last_pdf=jnp.where(active, new_pdf, s.last_pdf),
             last_delta=jnp.where(active, new_delta, s.last_delta),
+            from_medium=jnp.where(active, new_from_medium, s.from_medium),
             iters=s.iters + 1,
             sampler=smp,
         )
