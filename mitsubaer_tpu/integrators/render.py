@@ -45,8 +45,7 @@ def get_integrator(name: str):
 
 
 def _sampler_mode(name: str) -> int:
-    return {"independent": rng.INDEPENDENT, "lds": rng.LDS,
-            "ldsampler": rng.LDS, "stratified": rng.INDEPENDENT}.get(name, rng.INDEPENDENT)
+    return rng.MODES.get(name, rng.INDEPENDENT)
 
 
 @functools.partial(jax.jit,
@@ -108,7 +107,8 @@ def render_pass(scene: Scene, accum, cfg: RenderConfig, sppc: int, seed, pass_id
     sample_index = jnp.repeat(
         pass_idx * sppc + jnp.arange(sppc, dtype=jnp.uint32), npix
     )
-    smp = rng.make_sampler(seed, pixel, sample_index, mode=_sampler_mode(cfg.sampler))
+    smp = rng.make_sampler(seed, pixel, sample_index,
+                           mode=_sampler_mode(cfg.sampler), n_samples=cfg.spp)
 
     jitter, smp = rng.next_2d(smp)  # position inside pixel (film dimension 0)
     u_lens, smp = rng.next_2d(smp)  # aperture sample (thin lens)

@@ -169,10 +169,10 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     b0 = jnp.zeros((n,), bool)
     i0 = jnp.zeros((n,), jnp.int32)
 
-    mode = {"independent": rng.INDEPENDENT, "lds": rng.LDS,
-            "ldsampler": rng.LDS}.get(cfg.sampler, rng.INDEPENDENT)
+    mode = rng.MODES.get(cfg.sampler, rng.INDEPENDENT)
     sampler = rng.Sampler(lane=lane, index=jnp.zeros((n,), jnp.uint32),
-                          dim=jnp.zeros((n,), jnp.uint32), seed=seed, mode=mode)
+                          dim=jnp.zeros((n,), jnp.uint32), seed=seed, mode=mode,
+                          n_samples=cfg.spp)
 
     st = WFState(
         o=f3, d=jnp.concatenate([f3[:, :2], jnp.ones((n, 1))], axis=-1),
@@ -430,7 +430,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             lane=jnp.where(want, pix.astype(jnp.uint32), smp.lane),
             index=jnp.where(want, smp_index, smp.index),
             dim=jnp.where(want, jnp.uint32(0), smp.dim),
-            seed=smp.seed, mode=smp.mode,
+            seed=smp.seed, mode=smp.mode, n_samples=smp.n_samples,
         )
         u_jit, smp = rng.next_2d(smp)
         u_lens, smp = rng.next_2d(smp)

@@ -197,8 +197,10 @@ class XMLLoader:
                 self.b.config = self.b.config._replace(
                     spp=int(sp.get("sampleCount", 16)),
                     sampler={"independent": "independent", "ldsampler": "lds",
-                             "sobol": "lds", "halton": "lds",
-                             "stratified": "independent"}.get(c.get("type"), "independent"),
+                             "sobol": "sobol", "halton": "halton",
+                             "hammersley": "hammersley",
+                             "stratified": "stratified"}.get(
+                                 c.get("type"), "independent"),
                 )
             elif c.tag == "film":
                 fp = _props(c)
