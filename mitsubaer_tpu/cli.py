@@ -87,13 +87,21 @@ def main(argv=None):
     elif out.endswith(".npy"):
         io.write_npy(out, img)
     else:
+        # bake render metadata into the EXR (hdrfilm.cpp annotations)
+        ann = {
+            "renderTime": f"{dt:.3f}s",
+            "sampleCount": str(cfg.spp),
+            "integrator": cfg.integrator,
+            "devices": str(len(jax.devices())),
+            "generatedBy": "mitsubaer_tpu",
+        }
         if cfg.n_frames > 1:
             names = []
             for f in range(cfg.n_frames):
                 names += [f"frame{f:03d}.{c}" for c in ("R", "G", "B")]
-            io.write_exr(out, img, channel_names=names)
+            io.write_exr(out, img, channel_names=names, annotations=ann)
         else:
-            io.write_exr(out, img)
+            io.write_exr(out, img, annotations=ann)
     print(f"[output] {out}", file=sys.stderr)
     return 0
 

@@ -29,6 +29,9 @@ STRATIFIED = 2
 HALTON = 3
 HAMMERSLEY = 4
 SOBOL = 5
+VECTOR = 6   # replayable: draws come from an explicit (N, D) uniform table
+#   (the reference's ReplayableSampler, libbidir/rsampler.cpp; used by the
+#   primary-sample-space MLT chains)
 
 MODES = {
     "independent": INDEPENDENT,
@@ -286,27 +289,31 @@ class Sampler:
     `mode` is static (part of the pytree structure) so jit specializes on it."""
 
     def __init__(self, lane, index, dim, seed, mode: int = INDEPENDENT,
-                 n_samples: int = 16):
+                 n_samples: int = 16, table=None):
         self.lane = lane
         self.index = index
         self.dim = dim
         self.seed = seed
         self.mode = mode
         self.n_samples = n_samples  # static: spp (stratified/hammersley)
+        self.table = table          # VECTOR mode: (N, D) uniforms
 
     def _replace(self, **kw):
         d = dict(lane=self.lane, index=self.index, dim=self.dim,
-                 seed=self.seed, mode=self.mode, n_samples=self.n_samples)
+                 seed=self.seed, mode=self.mode, n_samples=self.n_samples,
+                 table=self.table)
         d.update(kw)
         return Sampler(**d)
 
     def tree_flatten(self):
-        return (self.lane, self.index, self.dim, self.seed), (self.mode, self.n_samples)
+        return ((self.lane, self.index, self.dim, self.seed, self.table),
+                (self.mode, self.n_samples))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         mode, n_samples = aux if isinstance(aux, tuple) else (aux, 16)
-        return cls(*children, mode=mode, n_samples=n_samples)
+        return cls(*children[:4], mode=mode, n_samples=n_samples,
+                   table=children[4] if len(children) > 4 else None)
 
 
 def make_sampler(seed, lane, sample_index, mode: int = INDEPENDENT,
@@ -327,7 +334,26 @@ def _independent_bits(s: Sampler, dim_offset) -> jnp.ndarray:
     )
 
 
+def _vector_draw(s: Sampler, k: int):
+    # read dims [dim, dim+k) from the replay table; falls back to hashing
+    # past the table end (long paths beyond the mutated prefix)
+    D = s.table.shape[-1]
+    outs = []
+    for i in range(k):
+        idx = s.dim + jnp.uint32(i)
+        inb = idx < D
+        v_tab = jnp.take_along_axis(
+            s.table, jnp.minimum(idx, D - 1)[..., None].astype(jnp.int32),
+            axis=-1)[..., 0]
+        v_hash = _u32_to_float(_independent_bits(s, i))
+        outs.append(jnp.where(inb, v_tab, v_hash))
+    return outs
+
+
 def next_1d(s: Sampler):
+    if s.mode == VECTOR:
+        (v,) = _vector_draw(s, 1)
+        return v, s._replace(dim=s.dim + jnp.uint32(1))
     if s.mode == LDS:
         scramble = hash_combine(s.seed, s.lane, s.dim)
         shuffled = _owen_scramble(_reverse_bits(s.index), hash_combine(scramble, jnp.uint32(0x55)))
@@ -353,6 +379,9 @@ def next_1d(s: Sampler):
 
 
 def next_2d(s: Sampler):
+    if s.mode == VECTOR:
+        a, b = _vector_draw(s, 2)
+        return jnp.stack([a, b], axis=-1), s._replace(dim=s.dim + jnp.uint32(2))
     if s.mode == LDS:
         pair_scramble = hash_combine(s.seed, s.lane, s.dim)
         # Owen-shuffle the sample index per dimension-pair (padded sequence),

@@ -17,6 +17,7 @@ from ..core import smalltab
 from ..core.math import Frame, dot, mis_weight_power, normalize
 from ..models import bsdf as bsdf_m
 from ..models import emitter as emitter_m
+from ..models import texture as texture_m
 from ..scene import intersect as isect
 from ..scene.types import RenderConfig, Scene
 from . import common
@@ -61,7 +62,9 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
 
     def body(s: _State):
         smp = s.sampler
-        hit = isect.intersect(scene.geo, s.o, s.d, jnp.full((n,), eps), jnp.full((n,), isect.INF))
+        hit = isect.intersect(scene.geo, s.o, s.d, jnp.full((n,), eps),
+                              jnp.full((n,), isect.INF),
+                              need_uv=cfg.has_textures)
         plen_at_hit = s.plen + jnp.where(hit.valid, hit.t, 0.0)
 
         # ----- escaped rays: environment -----
@@ -97,14 +100,19 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
         bsdf_idx = jnp.where(hit.shape_id >= 0, bsdf_idx, -1)
         frame = Frame.from_normal(ng)
         wi = frame.to_local(-s.d)
+        act = cfg.bsdf_kinds or None
+        rscale = texture_m.bsdf_refl_scale(scene, bsdf_idx, hit.tex_uv,
+                                           hit.uv, enabled=cfg.has_textures)
 
         # ----- next-event estimation -----
         u2, smp = _next2(smp)
         u1, smp = _next1(smp)
         ds = emitter_m.sample_direct(scene, hit.p, u2, u1)
         wo_local = frame.to_local(ds.d)
-        f_nee = bsdf_m.eval(scene.bsdfs, bsdf_idx, wi, wo_local)
-        bsdf_pdf_dir = bsdf_m.pdf(scene.bsdfs, bsdf_idx, wi, wo_local)
+        f_nee = bsdf_m.eval(scene.bsdfs, bsdf_idx, wi, wo_local,
+                            refl_scale=rscale, active=act)
+        bsdf_pdf_dir = bsdf_m.pdf(scene.bsdfs, bsdf_idx, wi, wo_local,
+                                  refl_scale=rscale, active=act)
         vis_needed = active & (ds.pdf > 0) & jnp.any(f_nee > 0, axis=-1)
         shadow_o = hit.p + ds.d * eps
         blocked = isect.occluded(
@@ -122,7 +130,8 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
         # ----- BSDF sampling -----
         u2b, smp = _next2(smp)
         u1b, smp = _next1(smp)
-        bs = bsdf_m.sample(scene.bsdfs, bsdf_idx, wi, u2b, u1b)
+        bs = bsdf_m.sample(scene.bsdfs, bsdf_idx, wi, u2b, u1b,
+                           refl_scale=rscale, active=act)
         wo_world = frame.to_world(bs.wo)
         throughput = s.throughput * bs.weight
         dead = jnp.all(throughput <= 0, axis=-1)

@@ -114,7 +114,9 @@ def render_pass(scene: Scene, accum, cfg: RenderConfig, sppc: int, seed, pass_id
     u_lens, smp = rng.next_2d(smp)  # aperture sample (thin lens)
     px = (pixel % W).astype(jnp.float32) + jitter[:, 0]
     py = (pixel // W).astype(jnp.float32) + jitter[:, 1]
-    rays = sensor_m.sample_rays(scene.sensor, px, py, W, H, u_lens=u_lens)
+    rays = sensor_m.sample_rays(scene.sensor, px, py, W, H, u_lens=u_lens,
+                                kind_hint=(cfg.sensor_kind
+                                           if cfg.sensor_kind >= 0 else None))
 
     if cfg.integrator == "direct":
         cfg = cfg._replace(max_depth=2, integrator="path")
@@ -244,6 +246,24 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
     if spp is not None:
         cfg = cfg._replace(spp=spp)
     npix = cfg.width * cfg.height
+    if cfg.integrator == "ptracer":
+        from . import ptracer as ptracer_m
+
+        with stats.timed("render.wall"):
+            img = ptracer_m.render_ptracer(scene, cfg, seed=seed)
+        return img
+    if cfg.integrator in ("pssmlt", "pssmlt_volpath", "mlt"):
+        from . import pssmlt as pssmlt_m
+
+        with stats.timed("render.wall"):
+            img = pssmlt_m.render_pssmlt(scene, cfg, seed=seed)
+        return img
+    if cfg.integrator in ("photonmapper", "ppm", "sppm"):
+        from . import photonmap as photonmap_m
+
+        with stats.timed("render.wall"):
+            img = photonmap_m.render_photonmap(scene, cfg, seed=seed)
+        return img
     if spp_per_pass is None:
         # bound wavefront to ~2^21 lanes to fit memory comfortably
         spp_per_pass = max(1, min(cfg.spp, (1 << 21) // max(npix, 1)))

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..core import rng, smalltab
 from ..core.math import Frame, dot, length, mis_weight_power, normalize
 from ..models import bsdf as bsdf_m
+from ..models import texture as texture_m
 from ..models import emitter as emitter_m
 from ..models import medium as medium_m
 from ..models import phase as phase_m
@@ -278,7 +279,8 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         smp = s.sampler
         media = scene.media
         hit = isect.intersect(scene.geo, s.o, s.d,
-                              jnp.full((n,), eps), jnp.full((n,), isect.INF))
+                              jnp.full((n,), eps), jnp.full((n,), isect.INF),
+                              need_uv=cfg.has_textures)
         # bound medium marching for escaped rays by the scene AABB exit
         _, t_scene = isect.ray_aabb(s.o, s.d, scene.aabb_min, scene.aabb_max)
         t_far = jnp.where(hit.valid, hit.t, jnp.maximum(t_scene, 0.0))
@@ -289,8 +291,13 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
 
         u_hom, smp = rng.next_1d(smp)
         uc_hom, smp = rng.next_1d(smp)
+        if cfg.medium_strategies:
+            _strat = medium_m.params_strategy(scene.media, s.medium)
+        else:
+            _strat = (None, None)
         hs, ht, hw, h_logp = medium_m.sample_distance_homogeneous(
-            sa, ss, sw, t_far, u_hom, uc_hom
+            sa, ss, sw, t_far, u_hom, uc_hom,
+            strategy=_strat[0], manual_density=_strat[1]
         )
         het = in_medium & (kind == MED_HETEROGENEOUS)
         ws, wt, ww, wp, smp, w_logp = medium_m.sample_distance_woodcock(
@@ -355,9 +362,15 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         frame = Frame.from_normal(hit.ng)
         wi_srf = frame.to_local(-s.d)
         wo_srf = frame.to_local(ds.d)
-        f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf)
-        pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf)
-        f_med = phase_m.eval(media.phase, s.medium, s.d, ds.d)[..., None]
+        act = cfg.bsdf_kinds or None
+        rscale = texture_m.bsdf_refl_scale(scene, b_idx, hit.tex_uv,
+                                           hit.uv, enabled=cfg.has_textures)
+        f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf,
+                            refl_scale=rscale, active=act)
+        pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf,
+                             refl_scale=rscale, active=act)
+        pact = cfg.phase_kinds or None
+        f_med = phase_m.eval(media.phase, s.medium, s.d, ds.d, active=pact)[..., None]
         pdf_med = f_med[..., 0]
         f_vtx = jnp.where(scattered[..., None], f_med, f_srf)
         pdf_vtx = jnp.where(scattered, pdf_med, pdf_srf)
@@ -443,8 +456,10 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
             )
             # light arrives at the vertex propagating along d_yp (y -> p);
             # the direction from the vertex toward the beam vertex is -d_yp
-            f_srf_b = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, frame.to_local(-d_yp))
-            f_med_b = phase_m.eval(media.phase, s.medium, s.d, -d_yp)[..., None]
+            f_srf_b = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf,
+                                  frame.to_local(-d_yp),
+                                  refl_scale=rscale, active=act)
+            f_med_b = phase_m.eval(media.phase, s.medium, s.d, -d_yp, active=pact)[..., None]
             f_b = jnp.where(scattered[..., None], f_med_b, f_srf_b)
             sink_new = common.add_contribution(
                 sink_new, cfg, throughput * f_b * bval,
@@ -456,9 +471,10 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         u1p, smp = rng.next_1d(smp)
 
         # medium: phase sampling
-        ps = phase_m.sample(media.phase, s.medium, s.d, u2p)
+        ps = phase_m.sample(media.phase, s.medium, s.d, u2p, active=pact)
         # surface: bsdf sampling
-        bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u2p, u1p)
+        bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u2p, u1p,
+                           refl_scale=rscale, active=act)
         wo_world_srf = frame.to_world(bs.wo)
 
         new_d = jnp.where(scattered[..., None], ps.wo, wo_world_srf)

@@ -159,8 +159,11 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         u2e, smp = rng.next_2d(smp)
         u1e, smp = rng.next_1d(smp)
         ds = emitter_m.sample_direct(scene, hit.p, u2e, u1e)
-        f_nee = bsdf_m.eval(scene.bsdfs, b_idx, wi_l, frame.to_local(ds.d))
-        pdf_dir = bsdf_m.pdf(scene.bsdfs, b_idx, wi_l, frame.to_local(ds.d))
+        act = cfg.bsdf_kinds or None
+        f_nee = bsdf_m.eval(scene.bsdfs, b_idx, wi_l, frame.to_local(ds.d),
+                            active=act)
+        pdf_dir = bsdf_m.pdf(scene.bsdfs, b_idx, wi_l, frame.to_local(ds.d),
+                             active=act)
         vis = srf & (ds.pdf > 0) & jnp.any(f_nee > 0, axis=-1) & jnp.any(ds.value > 0, axis=-1)
         blocked = isect.occluded(
             scene.geo, hit.p + ds.d * eps, ds.d,
@@ -175,7 +178,7 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         )
         u2b, smp = rng.next_2d(smp)
         u1b, smp = rng.next_1d(smp)
-        bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_l, u2b, u1b)
+        bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_l, u2b, u1b, active=act)
         wo_srf = frame.to_world(bs.wo)
 
         # --- refractive boundary crossing (h-dielectric entry) ---

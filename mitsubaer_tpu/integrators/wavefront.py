@@ -40,10 +40,15 @@ render through the loop engine (integrators/volpath.py, volpath_er.py).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# temporary perf-ablation switches (scripts/profile_event_ablate.py); renders
+# are WRONG with any of these set — timing only
+_ABL = set(os.environ.get("WF_ABLATE", "").split(","))
 
 from ..core import rng
 from ..core.math import Frame, dot, mis_weight_power
@@ -110,10 +115,14 @@ class WFState(NamedTuple):
     pix: jnp.ndarray          # (n,) int32 pixel served by the current sample
     sample_open: jnp.ndarray  # (n,) bool a sample is in flight / unflushed
     L: jnp.ndarray            # (n,3) current-sample radiance accumulator
-    slots: jnp.ndarray        # (sppc,n,3) flushed per-sample radiance (the
-    #   lane->pixel map is a static rotation per sample slot, so the film is
-    #   reconstructed OUTSIDE the loop by sppc rolls — in-loop scatters
-    #   serialize catastrophically on TPU)
+    pend: jnp.ndarray         # (E,n,3) epoch ring of flushed radiance: the
+    #   lane->pixel map is a static rotation per SAMPLE EPOCH, so epoch j's
+    #   buffer folds into the film with ONE roll once every lane passed j.
+    #   The ring (E=4) replaces the previous (sppc,n,3) slots array whose
+    #   32 masked slot-writes per event pass dominated state traffic;
+    #   in-loop scatters to the film would serialize catastrophically on TPU.
+    film: jnp.ndarray         # (n,3) pixel-space film accumulator (drained)
+    drained: jnp.ndarray      # () int32 epochs folded into film so far
     tap_ctr: jnp.ndarray      # (n,) uint32 tracking-RNG counter
     sampler: object           # event-pass Sampler
     n_segments: jnp.ndarray   # () uint32 ray segments traced (ext + shadow)
@@ -148,6 +157,13 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     engine manually."""
     H, W = cfg.height, cfg.width
     npix = H * W
+    # film ring depth: small caps pending-buffer traffic but imposes a
+    # min-completed barrier (measured: E=4 tripled super-iterations on the
+    # heterogeneous bench — fast lanes stall on the slowest epoch); default
+    # 0 = sppc (no barrier)
+    _EPOCH_RING = cfg.wf_epoch_ring if cfg.wf_epoch_ring > 0 else sppc
+    _EPOCH_RING = min(_EPOCH_RING, sppc)
+    pact = cfg.phase_kinds or None
     n = npix if n_lanes is None else n_lanes
     assert n == npix, "v1: one lane per pixel"
     eps = common.scene_epsilon(scene)
@@ -160,6 +176,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     # majorant jumps per bounce; surface/homogeneous scenes resolve in the
     # event pass itself
     T_TRACK = cfg.wf_track_iters if any_het else 0
+    act = cfg.bsdf_kinds or None
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     seed = jnp.asarray(seed, jnp.uint32)
@@ -185,7 +202,8 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         sh_remaining=f0, sh_seg=f0, sh_t=f0, sh_med=i0 - 1, sh_tr=f3,
         sh_val=f3, sh_hit_null=b0, sh_cross_p=f3, sh_cross_med=i0 - 1,
         pix=i0, sample_open=b0,
-        L=f3, slots=jnp.zeros((sppc, n, 3), jnp.float32),
+        L=f3, pend=jnp.zeros((_EPOCH_RING, n, 3), jnp.float32),
+        film=f3, drained=jnp.zeros((), jnp.int32),
         tap_ctr=jnp.zeros((n,), jnp.uint32), sampler=sampler,
         n_segments=jnp.zeros((), jnp.uint32),
         n_taps=jnp.zeros((), jnp.uint32),
@@ -277,9 +295,9 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         if has_direct:
             ds = emitter_m.sample_direct(scene, vtx, u_nee2, u_nee1)
             wo_srf = frame.to_local(ds.d)
-            f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf)
-            pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf)
-            f_med = phase_m.eval(media.phase, st.medium, st.d, ds.d)[..., None]
+            f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf, active=act)
+            pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf, active=act)
+            f_med = phase_m.eval(media.phase, st.medium, st.d, ds.d, active=pact)[..., None]
             pdf_med = f_med[..., 0]
             f_vtx = jnp.where(scattered[..., None], f_med, f_srf)
             pdf_vtx = jnp.where(scattered, pdf_med, pdf_srf)
@@ -299,7 +317,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             new_sh_med = jnp.where(ok, nee_med, new_sh_med)
             new_sh_val = jnp.where(sel, val, new_sh_val)
 
-        if has_beam:
+        if has_beam and "nobeam" not in _ABL:
             u_b, smp = rng.next_1d(smp)
             y_b, s_b, pdf_sb, dist_b, d_yp = sample_beam_point(beam, vtx, u_b)
             bmed = jnp.broadcast_to(beam.medium, (n,))
@@ -313,12 +331,13 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                                jnp.ones((n,)))
             sigma_s_y = ss_b * dens_b[..., None]
             rho_y = phase_m.eval(media.phase, bmed,
-                                 jnp.broadcast_to(beam.d, (n, 3)), d_yp)
+                                 jnp.broadcast_to(beam.d, (n, 3)), d_yp,
+                                 active=pact)
             bval = (beam.power * tr_beam * sigma_s_y
                     * (rho_y / jnp.maximum(pdf_sb * dist_b * dist_b, 1e-12))[..., None])
             f_srf_b = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf,
-                                  frame.to_local(-d_yp))
-            f_med_b = phase_m.eval(media.phase, st.medium, st.d, -d_yp)[..., None]
+                                  frame.to_local(-d_yp), active=act)
+            f_med_b = phase_m.eval(media.phase, st.medium, st.d, -d_yp, active=pact)[..., None]
             f_b = jnp.where(scattered[..., None], f_med_b, f_srf_b)
             val_b = tp * f_b * bval * fam_w
             ok_b = nee_ok & use_beam & jnp.any(val_b > 0, axis=-1)
@@ -345,8 +364,16 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         # ---------- direction sampling ----------
         u_dir2, smp = rng.next_2d(smp)
         u_dir1, smp = rng.next_1d(smp)
-        ps = phase_m.sample(media.phase, st.medium, st.d, u_dir2)
-        bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u_dir2, u_dir1)
+        if "nodir" in _ABL:
+            from ..core import warp as _warp
+            wo_i = _warp.square_to_uniform_sphere(u_dir2)
+            ps = phase_m.PhaseSample(wo=wo_i, weight=f0 + 1.0, pdf=f0 + 1.0)
+            bs = bsdf_m.BSDFSample(wo=wo_i, weight=f3 + 1.0, pdf=f0 + 1.0,
+                                   delta=b0, eta=f0 + 1.0, null_passthrough=b0)
+        else:
+            ps = phase_m.sample(media.phase, st.medium, st.d, u_dir2, active=pact)
+            bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u_dir2, u_dir1,
+                               active=act)
         wo_world = frame.to_world(bs.wo)
         new_d = jnp.where(scattered[..., None], ps.wo, wo_world)
         scatter_w = jnp.where(scattered[..., None], ps.weight[..., None],
@@ -403,12 +430,40 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         # scatter its accumulated radiance to the film and free the lane
         flush = (st.sample_open & ~path_alive & ~sh_active & ~sh_need_isect
                  & ~st.ext_tracking & ~ext_need)
-        slots = st.slots
-        for j in range(sppc):
-            slots = slots.at[j].add(
-                jnp.where((flush & (st.sample_idx == j))[..., None], L, 0.0))
+        pend = st.pend
+        if "noslots" in _ABL:
+            pend = pend.at[0].add(jnp.where(flush[..., None], L, 0.0))
+        else:
+            for e in range(_EPOCH_RING):
+                pend = pend.at[e].add(jnp.where(
+                    (flush & (st.sample_idx % _EPOCH_RING == e))[..., None],
+                    L, 0.0))
         L = jnp.where(flush[..., None], 0.0, L)
         sample_open = st.sample_open & ~flush
+
+        # ---------- epoch drain (only when the ring is a real window) ----
+        # fold epoch `drained` into the film (one roll) once every lane has
+        # completed it. With _EPOCH_RING >= sppc (the default) every epoch
+        # has a private slot, no barrier exists, and finalize() does all the
+        # rolls — the in-loop drain would be pure overhead (measured +4.8
+        # ms/super-iteration from the roll + dynamic slot update).
+        if _EPOCH_RING < sppc:
+            completed = st.sample_idx + 1 - sample_open.astype(jnp.int32)
+            m_done = jnp.min(completed)
+            do_drain = st.drained < m_done
+            e_cur = st.drained % _EPOCH_RING
+            stride_c = jnp.int32(104729 % npix)
+            pend_e = jax.lax.dynamic_index_in_dim(pend, e_cur, axis=0,
+                                                  keepdims=False)
+            shift = (st.drained * stride_c) % jnp.int32(npix)
+            film = st.film + jnp.where(do_drain,
+                                       jnp.roll(pend_e, shift, axis=0), 0.0)
+            pend = jax.lax.dynamic_update_index_in_dim(
+                pend, jnp.where(do_drain, 0.0, pend_e), e_cur, axis=0)
+            drained = st.drained + do_drain.astype(jnp.int32)
+        else:
+            film = st.film
+            drained = st.drained
 
         # rotated lane->pixel assignment: lane i serves pixels
         # (i + j*STRIDE) mod npix for sample j — a bijection per sample, so
@@ -417,7 +472,8 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         # wavefront analogue of the reference's pull scheduler balancing
         # heterogeneous blocks across workers (sched.cpp:427).
         want = (~sample_open) & ~path_alive & (st.sample_idx + 1 < sppc) \
-            & ~sh_active & ~sh_need_isect & ~st.ext_tracking
+            & ~sh_active & ~sh_need_isect & ~st.ext_tracking \
+            & (st.sample_idx + 1 < drained + _EPOCH_RING)  # ring slot free
         new_idx = st.sample_idx + 1
         sample_idx = jnp.where(want, new_idx, st.sample_idx)
         stride = jnp.int32(104729 % npix)
@@ -436,7 +492,13 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         u_lens, smp = rng.next_2d(smp)
         px = (pix % W).astype(jnp.float32) + u_jit[:, 0]
         py = (pix // W).astype(jnp.float32) + u_jit[:, 1]
-        rays = sensor_m.sample_rays(scene.sensor, px, py, W, H, u_lens=u_lens)
+        if "nosensor" in _ABL:
+            rays = sensor_m.CameraRays(o=f3, d=jnp.concatenate(
+                [f3[:, :2], jnp.ones((n, 1))], axis=-1))
+        else:
+            rays = sensor_m.sample_rays(
+                scene.sensor, px, py, W, H, u_lens=u_lens,
+                kind_hint=(cfg.sensor_kind if cfg.sensor_kind >= 0 else None))
         selr = want[..., None]
         o = jnp.where(selr, rays.o, o)
         d = jnp.where(selr, rays.d, d)
@@ -451,8 +513,13 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         ext_need = ext_need | want
 
         # ---------- stage 3: extension intersect + analytic media ----------
-        hit = isect.intersect(scene.geo, o, d, jnp.full((n,), eps),
-                              jnp.full((n,), isect.INF))
+        if "noextisect" in _ABL:
+            hit = isect.Hit(t=f0 + 2.0, valid=~b0, prim=i0, shape_id=i0,
+                            p=o + 2.0 * d, ng=d, uv=jnp.zeros((n, 2)),
+                            tex_uv=jnp.zeros((n, 2)))
+        else:
+            hit = isect.intersect(scene.geo, o, d, jnp.full((n,), eps),
+                                  jnp.full((n,), isect.INF))
         _, t_scene = isect.ray_aabb(o, d, scene.aabb_min, scene.aabb_max)
         seg_far = jnp.where(hit.valid, hit.t, jnp.maximum(t_scene, 0.0))
         t_far = jnp.where(ext_need, seg_far, st.t_far)
@@ -463,8 +530,13 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         kind_m, sa_m, ss_m, sw_m, _ = _medium_params(scene, medium)
         u_hom, smp = rng.next_1d(smp)
         uc_hom, smp = rng.next_1d(smp)
+        if cfg.medium_strategies:
+            _strat = medium_m.params_strategy(scene.media, medium)
+        else:
+            _strat = (None, None)
         hs, ht, hw, _ = medium_m.sample_distance_homogeneous(
-            sa_m, ss_m, sw_m, t_far, u_hom, uc_hom)
+            sa_m, ss_m, sw_m, t_far, u_hom, uc_hom,
+            strategy=_strat[0], manual_density=_strat[1])
         in_hom = ext_need & (kind_m == MED_HOMOGENEOUS)
         in_het = ext_need & (kind_m == MED_HETEROGENEOUS)
         in_vac = ext_need & ~in_hom & ~in_het
@@ -480,9 +552,14 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
 
         # ---------- stage 4: shadow intersect + analytic subsegments ----------
         shx = sh_need_isect & sh_active
-        shit = isect.intersect(scene.geo, sh_o, sh_d,
-                               jnp.full((n,), eps * 0.5),
-                               jnp.maximum(sh_remaining - eps, 0.0))
+        if "noshisect" in _ABL:
+            shit = isect.Hit(t=f0 + 2.0, valid=b0, prim=i0, shape_id=i0,
+                             p=sh_o, ng=sh_d, uv=jnp.zeros((n, 2)),
+                             tex_uv=jnp.zeros((n, 2)))
+        else:
+            shit = isect.intersect(scene.geo, sh_o, sh_d,
+                                   jnp.full((n,), eps * 0.5),
+                                   jnp.maximum(sh_remaining - eps, 0.0))
         sb_idx, _, sm_in, sm_ex = _shape_tables(scene, shit.shape_id)
         s_null = _is_null_surface(scene, sb_idx)
         blocked = shx & shit.valid & ~s_null
@@ -524,7 +601,8 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             sh_hit_null=sh_hit_null, sh_cross_p=sh_cross_p,
             sh_cross_med=sh_cross_med,
             pix=pix, sample_open=sample_open,
-            L=L, slots=slots, tap_ctr=st.tap_ctr, sampler=smp,
+            L=L, pend=pend, film=film, drained=drained,
+            tap_ctr=st.tap_ctr, sampler=smp,
             n_segments=n_segments, n_taps=st.n_taps, it=st.it + 1,
         )
 
@@ -598,11 +676,15 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         unfinished = jnp.sum(st.sample_open
                              | (st.sample_idx + 1 < sppc)).astype(jnp.uint32)
         stats = (st.n_segments, st.n_taps, st.it, unfinished)
-        # film[p] = sum_j slots[j, (p - j*stride) mod npix]
+        # drain the (at most _EPOCH_RING) epochs still pending in the ring:
+        # film[p] += pend[j % E][(p - j*stride) mod npix] for undrained j
         stride = 104729 % npix
-        film = st.slots[0]
-        for j in range(1, sppc):
-            film = film + jnp.roll(st.slots[j], j * stride, axis=0)
+        film = st.film
+        for j in range(sppc):
+            live = (j >= st.drained) & (j < st.drained + _EPOCH_RING)
+            film = film + jnp.where(
+                live, jnp.roll(st.pend[j % _EPOCH_RING], j * stride, axis=0),
+                0.0)
         return film, stats
 
     return st, event_pass, tracking_iter, cond, finalize
@@ -619,6 +701,7 @@ def render_wavefront(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         scene, cfg, sppc, seed, pass_idx, n_lanes=n_lanes,
         has_direct=has_direct, any_het=any_het)
     T_TRACK = cfg.wf_track_iters if any_het else 0
+    act = cfg.bsdf_kinds or None
 
     def super_iter(s: WFState) -> WFState:
         s = event_pass(s)

@@ -33,14 +33,19 @@ from ..core.math import (
 from ..scene.types import (
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
+    BSDF_DIFFTRANS,
     BSDF_DIFFUSE,
     BSDF_HDIELECTRIC,
+    BSDF_HROUGHDIELECTRIC,
     BSDF_MIRROR,
     BSDF_NULL,
     BSDF_PHONG,
     BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
+    BSDF_ROUGHDIELECTRIC,
+    BSDF_ROUGHPLASTIC,
     BSDF_THINDIELECTRIC,
+    BSDF_WARD,
     BSDFs,
 )
 
@@ -54,12 +59,15 @@ class BSDFSample(NamedTuple):
     null_passthrough: jnp.ndarray  # (N,) bool: null transmission event
 
 
-def _params(bs: BSDFs, idx):
+def _params(bs: BSDFs, idx, refl_scale=None):
     i = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
     take = lambda a: smalltab.take(a, i)
+    refl = take(bs.reflectance)
+    if refl_scale is not None:
+        refl = refl * refl_scale  # texture-modulated reflectance
     return (
         jnp.where(idx >= 0, take(bs.kind), BSDF_NULL),
-        take(bs.reflectance),
+        refl,
         take(bs.specular_r),
         take(bs.specular_t),
         take(bs.eta),
@@ -68,6 +76,39 @@ def _params(bs: BSDFs, idx):
         take(bs.alpha),
         take(bs.exponent),
     )
+
+
+def _params_aniso(bs: BSDFs, idx):
+    i = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
+    return smalltab.take(bs.alpha_v, i), smalltab.take(bs.opacity, i)
+
+
+# --------------------------------------------------------------------------
+# Walter-style rough dielectric helpers (roughdielectric.cpp)
+# --------------------------------------------------------------------------
+def _rough_diel_halfvec(wi, wo, eta_rel):
+    """Half vector for reflection or refraction config; eta_rel = eta_t/eta_i
+    on wi's side."""
+    ci, co = cos_theta(wi), cos_theta(wo)
+    is_refl = ci * co > 0
+    m_refl = normalize(wi + wo)
+    m_refr = normalize(wi + wo * eta_rel[..., None])
+    m = jnp.where(is_refl[..., None], m_refl, m_refr)
+    # orient to +z hemisphere
+    m = jnp.where((cos_theta(m) < 0)[..., None], -m, m)
+    return m, is_refl
+
+
+def _ward_spec(wi, wo, au, av):
+    """Ward specular term * cos(wo) (ward.cpp eval, balanced variant)."""
+    ci, co = cos_theta(wi), cos_theta(wo)
+    h = wi + wo
+    hz2 = h[..., 2] * h[..., 2]
+    expo = -(h[..., 0] ** 2 / jnp.maximum(au * au, 1e-12)
+             + h[..., 1] ** 2 / jnp.maximum(av * av, 1e-12)) / jnp.maximum(hz2, 1e-12)
+    denom = 4.0 * jnp.pi * au * av * jnp.sqrt(jnp.maximum(ci * co, 1e-12))
+    return jnp.where((ci > 0) & (co > 0),
+                     jnp.exp(expo) / jnp.maximum(denom, 1e-12) * co, 0.0)
 
 
 # --------------------------------------------------------------------------
@@ -103,84 +144,194 @@ def _ggx_pdf_m(m, alpha):
 # --------------------------------------------------------------------------
 # eval / pdf (smooth lobes only)
 # --------------------------------------------------------------------------
-def eval(bs: BSDFs, idx, wi, wo, eta_override=None):
-    kind, refl, spec_r, _, eta, ceta, ck, alpha, expn = _params(bs, idx)
+def _on(active, *ks):
+    """Static lobe filter: `active` is the (static) set of BSDF kinds present
+    in the scene (RenderConfig.bsdf_kinds via the builder) or None for all.
+    Skipped lobes cost nothing — jit specializes per scene."""
+    return active is None or any(k in active for k in ks)
+
+
+def eval(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
+         active=None):
+    kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
+        bs, idx, refl_scale)
+    if eta_override is not None:
+        eta = jnp.where((kind == BSDF_HDIELECTRIC)
+                        | (kind == BSDF_HROUGHDIELECTRIC), eta_override, eta)
     ci, co = cos_theta(wi), cos_theta(wo)
     front = (ci > 0) & (co > 0)
 
     f_diffuse = refl * (INV_PI * jnp.maximum(co, 0.0))[..., None]
-
-    # plastic: diffuse part attenuated by (1-Fi)(1-Fo) with internal
-    # scattering approximation omitted -> matches "nonlinear=false" plastic
-    Fi, _ = fresnel_dielectric(ci, eta)
-    Fo, _ = fresnel_dielectric(co, eta)
-    f_plastic = refl * ((1.0 - Fi) * (1.0 - Fo) * INV_PI * jnp.maximum(co, 0.0))[..., None]
-
-    # rough conductor (GGX)
-    m = normalize(wi + wo)
-    m = jnp.where((ci < 0)[..., None], -m, m)
-    D = _ggx_d(m, alpha)
-    G = _ggx_g1(wi, m, alpha) * _ggx_g1(wo, m, alpha)
-    Fc = fresnel_conductor(dot(wi, m), ceta, ck)
-    f_roughcond = spec_r * Fc * (D * G / jnp.maximum(4.0 * jnp.abs(ci), 1e-12))[..., None]
-    # note: f*cos = spec * F * D*G / (4 |ci| |co|) * |co|
-
-    # phong: (N+2)/2pi * spec * cos^N(alpha_r) + diffuse
-    wr = reflect_local(wi)
-    cos_r = jnp.maximum(dot(wr, wo), 0.0)
-    f_phong = (
-        refl * (INV_PI * jnp.maximum(co, 0.0))[..., None]
-        + spec_r * ((expn + 2.0) / (2.0 * jnp.pi) * cos_r ** expn * jnp.maximum(co, 0.0))[..., None]
-    )
-
     zero = jnp.zeros_like(f_diffuse)
-    out = jnp.where((kind == BSDF_DIFFUSE)[..., None], f_diffuse, zero)
-    out = jnp.where((kind == BSDF_PLASTIC)[..., None], f_plastic, out)
-    out = jnp.where((kind == BSDF_ROUGHCONDUCTOR)[..., None], f_roughcond, out)
-    out = jnp.where((kind == BSDF_PHONG)[..., None], f_phong, out)
-    return jnp.where(front[..., None], out, zero)
+    out = zero
+    if _on(active, BSDF_DIFFUSE):
+        out = jnp.where((kind == BSDF_DIFFUSE)[..., None], f_diffuse, out)
+
+    if _on(active, BSDF_PLASTIC, BSDF_ROUGHPLASTIC):
+        # plastic: diffuse part attenuated by (1-Fi)(1-Fo) with internal
+        # scattering approximation omitted -> "nonlinear=false" plastic
+        Fi, _ = fresnel_dielectric(ci, eta)
+        Fo, _ = fresnel_dielectric(co, eta)
+        f_plastic = refl * ((1.0 - Fi) * (1.0 - Fo) * INV_PI
+                            * jnp.maximum(co, 0.0))[..., None]
+        out = jnp.where((kind == BSDF_PLASTIC)[..., None], f_plastic, out)
+
+    if _on(active, BSDF_ROUGHCONDUCTOR, BSDF_ROUGHPLASTIC):
+        m = normalize(wi + wo)
+        m = jnp.where((ci < 0)[..., None], -m, m)
+        D = _ggx_d(m, alpha)
+        G = _ggx_g1(wi, m, alpha) * _ggx_g1(wo, m, alpha)
+
+    if _on(active, BSDF_ROUGHCONDUCTOR):
+        Fc = fresnel_conductor(dot(wi, m), ceta, ck)
+        f_roughcond = spec_r * Fc * (
+            D * G / jnp.maximum(4.0 * jnp.abs(ci), 1e-12))[..., None]
+        out = jnp.where((kind == BSDF_ROUGHCONDUCTOR)[..., None], f_roughcond, out)
+
+    if _on(active, BSDF_PHONG):
+        wr = reflect_local(wi)
+        cos_r = jnp.maximum(dot(wr, wo), 0.0)
+        f_phong = (
+            refl * (INV_PI * jnp.maximum(co, 0.0))[..., None]
+            + spec_r * ((expn + 2.0) / (2.0 * jnp.pi) * cos_r ** expn
+                        * jnp.maximum(co, 0.0))[..., None])
+        out = jnp.where((kind == BSDF_PHONG)[..., None], f_phong, out)
+
+    if _on(active, BSDF_WARD):
+        av, _ = _params_aniso(bs, idx)
+        f_ward = (refl * (INV_PI * jnp.maximum(co, 0.0))[..., None]
+                  + spec_r * _ward_spec(wi, wo, alpha, av)[..., None])
+        out = jnp.where((kind == BSDF_WARD)[..., None], f_ward, out)
+
+    if _on(active, BSDF_ROUGHPLASTIC):
+        Fm = fresnel_dielectric(dot(wi, m), eta)[0]
+        f_rplastic = (spec_r * (Fm * D * G
+                                / jnp.maximum(4.0 * jnp.abs(ci), 1e-12))[..., None]
+                      + f_plastic)
+        out = jnp.where((kind == BSDF_ROUGHPLASTIC)[..., None], f_rplastic, out)
+
+    out = jnp.where(front[..., None], out, zero)
+
+    # ---- transmission-capable lobes (no front gate) ----
+    if _on(active, BSDF_DIFFTRANS):
+        f_dt = refl * (INV_PI * jnp.abs(co))[..., None]
+        out = jnp.where((kind == BSDF_DIFFTRANS)[..., None],
+                        jnp.where((ci * co < 0)[..., None], f_dt, zero), out)
+
+    if _on(active, BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC):
+        # rough dielectric (Walter et al. 2007; roughdielectric.cpp)
+        is_rd = (kind == BSDF_ROUGHDIELECTRIC) | (kind == BSDF_HROUGHDIELECTRIC)
+        eta_rel = jnp.where(ci > 0, eta, 1.0 / eta)
+        mh, is_refl = _rough_diel_halfvec(wi, wo, eta_rel)
+        Frd = fresnel_dielectric(dot(wi, mh), eta)[0]
+        Drd = _ggx_d(mh, alpha)
+        Grd = _ggx_g1(wi, mh, alpha) * _ggx_g1(wo, mh, alpha)
+        f_rd_refl = Frd * Drd * Grd / jnp.maximum(4.0 * jnp.abs(ci), 1e-12)
+        im, om = dot(wi, mh), dot(wo, mh)
+        denom_t = im + eta_rel * om
+        f_rd_trans = (jnp.abs(im * om) / jnp.maximum(jnp.abs(ci), 1e-12)
+                      * (eta_rel * eta_rel) * (1.0 - Frd) * Drd * Grd
+                      / jnp.maximum(denom_t * denom_t, 1e-12))
+        # radiance (non-symmetric) transport: transmission scaled by 1/eta^2
+        f_rd_trans = f_rd_trans / jnp.maximum(eta_rel * eta_rel, 1e-12)
+        # Walter's f carries 1/(|ci||co|); returning f*|co| cancels the |co|
+        f_rd = jnp.where(is_refl[..., None], spec_r * f_rd_refl[..., None],
+                         spec_t * f_rd_trans[..., None])
+        out = jnp.where(is_rd[..., None], f_rd, out)
+    return out
 
 
-def pdf(bs: BSDFs, idx, wi, wo, eta_override=None):
-    kind, refl, spec_r, _, eta, ceta, ck, alpha, expn = _params(bs, idx)
+def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
+        active=None):
+    kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
+        bs, idx, refl_scale)
+    if eta_override is not None:
+        eta = jnp.where((kind == BSDF_HDIELECTRIC)
+                        | (kind == BSDF_HROUGHDIELECTRIC), eta_override, eta)
     ci, co = cos_theta(wi), cos_theta(wo)
     front = (ci > 0) & (co > 0)
 
     p_cos = warp.square_to_cosine_hemisphere_pdf(wo)
-
-    m = normalize(wi + wo)
-    m = jnp.where((ci < 0)[..., None], -m, m)
-    p_rough = _ggx_pdf_m(m, alpha) / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-12)
-
-    # plastic samples specular with prob F(ci): pdf of diffuse part
-    Fi, _ = fresnel_dielectric(ci, eta)
-    p_plastic = (1.0 - Fi) * p_cos
-
-    wr = reflect_local(wi)
-    cos_r = jnp.maximum(dot(wr, wo), 0.0)
-    p_phong_spec = (expn + 1.0) / (2.0 * jnp.pi) * cos_r ** expn
-    spec_w = jnp.max(spec_r, axis=-1) / jnp.maximum(
-        jnp.max(spec_r, axis=-1) + jnp.max(refl, axis=-1), 1e-12
-    )
-    p_phong = spec_w * p_phong_spec + (1.0 - spec_w) * p_cos
-
     out = jnp.where(kind == BSDF_DIFFUSE, p_cos, 0.0)
-    out = jnp.where(kind == BSDF_PLASTIC, p_plastic, out)
-    out = jnp.where(kind == BSDF_ROUGHCONDUCTOR, p_rough, out)
-    out = jnp.where(kind == BSDF_PHONG, p_phong, out)
-    return jnp.where(front, out, 0.0)
+
+    if _on(active, BSDF_ROUGHCONDUCTOR, BSDF_ROUGHPLASTIC):
+        m = normalize(wi + wo)
+        m = jnp.where((ci < 0)[..., None], -m, m)
+        p_rough = _ggx_pdf_m(m, alpha) / jnp.maximum(
+            4.0 * jnp.abs(dot(wo, m)), 1e-12)
+        out = jnp.where(kind == BSDF_ROUGHCONDUCTOR, p_rough, out)
+
+    if _on(active, BSDF_PLASTIC, BSDF_ROUGHPLASTIC):
+        Fi, _ = fresnel_dielectric(ci, eta)
+        p_plastic = (1.0 - Fi) * p_cos
+        out = jnp.where(kind == BSDF_PLASTIC, p_plastic, out)
+
+    if _on(active, BSDF_PHONG):
+        wr = reflect_local(wi)
+        cos_r = jnp.maximum(dot(wr, wo), 0.0)
+        p_phong_spec = (expn + 1.0) / (2.0 * jnp.pi) * cos_r ** expn
+        spec_w = jnp.max(spec_r, axis=-1) / jnp.maximum(
+            jnp.max(spec_r, axis=-1) + jnp.max(refl, axis=-1), 1e-12)
+        p_phong = spec_w * p_phong_spec + (1.0 - spec_w) * p_cos
+        out = jnp.where(kind == BSDF_PHONG, p_phong, out)
+
+    if _on(active, BSDF_WARD):
+        av, _ = _params_aniso(bs, idx)
+        h = normalize(wi + wo)
+        spec_w_ward = jnp.max(spec_r, axis=-1) / jnp.maximum(
+            jnp.max(spec_r, axis=-1) + jnp.max(refl, axis=-1), 1e-12)
+        hz = jnp.maximum(cos_theta(h), 1e-6)
+        d_ward = jnp.exp(-(h[..., 0] ** 2 / jnp.maximum(alpha * alpha, 1e-12)
+                           + h[..., 1] ** 2 / jnp.maximum(av * av, 1e-12))
+                         / jnp.maximum(hz * hz, 1e-12))
+        # anisotropic-Beckmann half-vector density p(m) = D(m) cos(m)
+        p_h = d_ward / (jnp.pi * alpha * av * hz ** 3)
+        p_ward_spec = p_h / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-12)
+        p_ward = spec_w_ward * p_ward_spec + (1.0 - spec_w_ward) * p_cos
+        out = jnp.where(kind == BSDF_WARD, p_ward, out)
+
+    if _on(active, BSDF_ROUGHPLASTIC):
+        p_rp = Fi * p_rough + (1.0 - Fi) * p_cos
+        out = jnp.where(kind == BSDF_ROUGHPLASTIC, p_rp, out)
+
+    out = jnp.where(front, out, 0.0)
+
+    if _on(active, BSDF_DIFFTRANS):
+        p_dt = warp.square_to_cosine_hemisphere_pdf(jnp.abs(wo))
+        out = jnp.where(kind == BSDF_DIFFTRANS,
+                        jnp.where(ci * co < 0, p_dt, 0.0), out)
+
+    if _on(active, BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC):
+        is_rd = (kind == BSDF_ROUGHDIELECTRIC) | (kind == BSDF_HROUGHDIELECTRIC)
+        eta_rel = jnp.where(ci > 0, eta, 1.0 / eta)
+        mh, is_refl = _rough_diel_halfvec(wi, wo, eta_rel)
+        Frd = fresnel_dielectric(dot(wi, mh), eta)[0]
+        pdf_m_rd = _ggx_pdf_m(mh, alpha)
+        im, om = dot(wi, mh), dot(wo, mh)
+        jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(om), 1e-12)
+        denom_t = im + eta_rel * om
+        jac_trans = (eta_rel * eta_rel) * jnp.abs(om) / jnp.maximum(
+            denom_t * denom_t, 1e-12)
+        p_rd = jnp.where(is_refl, Frd * pdf_m_rd * jac_refl,
+                         (1.0 - Frd) * pdf_m_rd * jac_trans)
+        out = jnp.where(is_rd, p_rd, out)
+    return out
 
 
 # --------------------------------------------------------------------------
 # sample
 # --------------------------------------------------------------------------
-def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None) -> BSDFSample:
+def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
+           refl_scale=None, active=None) -> BSDFSample:
     """Sample all lobes branchlessly and select by kind.
 
     u2: (N, 2) for direction, u1: (N,) for lobe selection."""
-    kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(bs, idx)
+    kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
+        bs, idx, refl_scale)
     if eta_override is not None:
-        eta = jnp.where(kind == BSDF_HDIELECTRIC, eta_override, eta)
+        eta = jnp.where((kind == BSDF_HDIELECTRIC)
+                        | (kind == BSDF_HROUGHDIELECTRIC), eta_override, eta)
+    av, opacity = _params_aniso(bs, idx)
     ci = cos_theta(wi)
     n = wi.shape[0]
     ones3 = jnp.ones((n, 3), jnp.float32)
@@ -236,41 +387,150 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None) -> BSDFSample:
     )
     pdf_plastic = jnp.where(spec_choice, F, (1.0 - F) * pdf_diff)
 
-    # ---- rough conductor (GGX) ----
-    m = _ggx_sample(alpha, u2)
-    m = jnp.where((ci < 0)[..., None], -m, m)
-    wo_rough = 2.0 * dot(wi, m, keepdims=True) * m - wi
-    pdf_m = _ggx_pdf_m(jnp.abs(m), alpha)
-    pdf_rough = pdf_m / jnp.maximum(4.0 * jnp.abs(dot(wi, m)), 1e-12)
-    G = _ggx_g1(wi, m, alpha) * _ggx_g1(wo_rough, m, alpha)
-    Fcr = fresnel_conductor(dot(wi, m), ceta, ck)
-    # weight = F * G * dot(wi, m) / (ci * cos_m) (Walter et al.)
-    w_rough = spec_r * Fcr * jnp.where(
-        (cos_theta(wo_rough) * ci > 0),
-        G * jnp.abs(dot(wi, m)) / jnp.maximum(jnp.abs(ci) * jnp.abs(cos_theta(m)), 1e-12),
-        0.0,
-    )[..., None]
+    wo_d = {BSDF_DIFFUSE: wo_diff, BSDF_DIELECTRIC: wo_diel,
+            BSDF_HDIELECTRIC: wo_diel, BSDF_THINDIELECTRIC: wo_thin,
+            BSDF_CONDUCTOR: wo_refl, BSDF_MIRROR: wo_refl, BSDF_NULL: wo_null,
+            BSDF_PLASTIC: wo_plastic}
+    w_d = {BSDF_DIFFUSE: w_diff, BSDF_DIELECTRIC: w_diel,
+           BSDF_HDIELECTRIC: w_diel, BSDF_THINDIELECTRIC: w_thin,
+           BSDF_CONDUCTOR: w_cond, BSDF_MIRROR: w_mirror, BSDF_NULL: w_null,
+           BSDF_PLASTIC: w_plastic}
+    p_d = {BSDF_DIFFUSE: pdf_diff, BSDF_DIELECTRIC: pdf_diel,
+           BSDF_HDIELECTRIC: pdf_diel, BSDF_THINDIELECTRIC: pdf_thin,
+           BSDF_CONDUCTOR: jnp.ones_like(ci), BSDF_MIRROR: jnp.ones_like(ci),
+           BSDF_NULL: jnp.ones_like(ci), BSDF_PLASTIC: pdf_plastic}
 
-    # ---- phong ----
-    spec_w = jnp.max(spec_r, axis=-1) / jnp.maximum(
-        jnp.max(spec_r, axis=-1) + jnp.max(refl, axis=-1), 1e-12
-    )
-    phong_spec = u1 < spec_w
-    wr = reflect_local(wi)
-    # sample cos^n lobe around wr
-    ct_lobe = u2[..., 0] ** (1.0 / (expn + 1.0))
-    st_lobe = safe_sqrt(1.0 - ct_lobe * ct_lobe)
-    phi = 2.0 * jnp.pi * u2[..., 1]
-    lobe_local = jnp.stack(
-        [st_lobe * jnp.cos(phi), st_lobe * jnp.sin(phi), ct_lobe], axis=-1
-    )
-    from ..core.math import Frame
+    # ---- rough conductor (GGX) — m reused by roughplastic/roughdielectric --
+    if _on(active, BSDF_ROUGHCONDUCTOR, BSDF_ROUGHPLASTIC,
+           BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC):
+        m = _ggx_sample(alpha, u2)
+        m = jnp.where((ci < 0)[..., None], -m, m)
+        wo_rough = 2.0 * dot(wi, m, keepdims=True) * m - wi
+        pdf_m = _ggx_pdf_m(jnp.abs(m), alpha)
+        pdf_rough = pdf_m / jnp.maximum(4.0 * jnp.abs(dot(wi, m)), 1e-12)
+        G = _ggx_g1(wi, m, alpha) * _ggx_g1(wo_rough, m, alpha)
 
-    wo_ph_spec = Frame.from_normal(wr).to_world(lobe_local)
-    wo_phong = jnp.where(phong_spec[..., None], wo_ph_spec, wo_diff)
-    f_ph = eval(bs, idx, wi, wo_phong)
-    p_ph = pdf(bs, idx, wi, wo_phong)
-    w_phong = f_ph / jnp.maximum(p_ph, 1e-12)[..., None]
+    if _on(active, BSDF_ROUGHCONDUCTOR):
+        Fcr = fresnel_conductor(dot(wi, m), ceta, ck)
+        # weight = F * G * dot(wi, m) / (ci * cos_m) (Walter et al.)
+        w_rough = spec_r * Fcr * jnp.where(
+            (cos_theta(wo_rough) * ci > 0),
+            G * jnp.abs(dot(wi, m)) / jnp.maximum(
+                jnp.abs(ci) * jnp.abs(cos_theta(m)), 1e-12),
+            0.0,
+        )[..., None]
+        wo_d[BSDF_ROUGHCONDUCTOR] = wo_rough
+        w_d[BSDF_ROUGHCONDUCTOR] = w_rough
+        p_d[BSDF_ROUGHCONDUCTOR] = pdf_rough
+
+    if _on(active, BSDF_PHONG):
+        spec_w = jnp.max(spec_r, axis=-1) / jnp.maximum(
+            jnp.max(spec_r, axis=-1) + jnp.max(refl, axis=-1), 1e-12
+        )
+        phong_spec = u1 < spec_w
+        wr = reflect_local(wi)
+        # sample cos^n lobe around wr
+        ct_lobe = u2[..., 0] ** (1.0 / (expn + 1.0))
+        st_lobe = safe_sqrt(1.0 - ct_lobe * ct_lobe)
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        lobe_local = jnp.stack(
+            [st_lobe * jnp.cos(phi), st_lobe * jnp.sin(phi), ct_lobe], axis=-1
+        )
+        from ..core.math import Frame
+
+        wo_ph_spec = Frame.from_normal(wr).to_world(lobe_local)
+        wo_phong = jnp.where(phong_spec[..., None], wo_ph_spec, wo_diff)
+        f_ph = eval(bs, idx, wi, wo_phong, refl_scale=refl_scale, active=active)
+        p_ph = pdf(bs, idx, wi, wo_phong, refl_scale=refl_scale, active=active)
+        w_phong = f_ph / jnp.maximum(p_ph, 1e-12)[..., None]
+        wo_d[BSDF_PHONG] = wo_phong
+        w_d[BSDF_PHONG] = w_phong
+        p_d[BSDF_PHONG] = p_ph
+
+    if _on(active, BSDF_DIFFTRANS):
+        # diffuse transmitter (difftrans.cpp): cosine lobe, opposite side
+        wo_dt = wo_diff * jnp.array([1.0, 1.0, -1.0])  # mirror to far side
+        wo_d[BSDF_DIFFTRANS] = wo_dt
+        w_d[BSDF_DIFFTRANS] = refl
+        p_d[BSDF_DIFFTRANS] = pdf_diff
+
+    if _on(active, BSDF_WARD):
+        # ward: sample the anisotropic specular lobe or cosine diffuse
+        spec_w_ward = jnp.max(spec_r, axis=-1) / jnp.maximum(
+            jnp.max(spec_r, axis=-1) + jnp.max(refl, axis=-1), 1e-12)
+        ward_spec = u1 < spec_w_ward
+        phi_in = 2.0 * jnp.pi * u2[..., 1]
+        # phi_h distributed with tan(phi_h) = (av/au) tan(phi)
+        phi_h = jnp.arctan2(av * jnp.sin(phi_in), alpha * jnp.cos(phi_in))
+        cph, sph = jnp.cos(phi_h), jnp.sin(phi_h)
+        tan2_th = -jnp.log(jnp.maximum(u2[..., 0], 1e-9)) / jnp.maximum(
+            cph * cph / jnp.maximum(alpha * alpha, 1e-12)
+            + sph * sph / jnp.maximum(av * av, 1e-12), 1e-12)
+        ct_h = 1.0 / jnp.sqrt(1.0 + tan2_th)
+        st_h = safe_sqrt(1.0 - ct_h * ct_h)
+        h_ward = jnp.stack([st_h * cph, st_h * sph, ct_h], axis=-1)
+        h_ward = jnp.where((ci < 0)[..., None], -h_ward, h_ward)
+        wo_ward_s = 2.0 * dot(wi, h_ward, keepdims=True) * h_ward - wi
+        wo_ward = jnp.where(ward_spec[..., None], wo_ward_s, wo_diff)
+        f_w = eval(bs, idx, wi, wo_ward, refl_scale=refl_scale, active=active)
+        p_w = pdf(bs, idx, wi, wo_ward, refl_scale=refl_scale, active=active)
+        w_ward = f_w / jnp.maximum(p_w, 1e-12)[..., None]
+        wo_d[BSDF_WARD] = wo_ward
+        w_d[BSDF_WARD] = w_ward
+        p_d[BSDF_WARD] = p_w
+
+    if _on(active, BSDF_ROUGHPLASTIC):
+        # rough plastic: GGX specular w.p. F(ci), else cosine diffuse
+        rp_spec = u1 < F
+        wo_rp = jnp.where(rp_spec[..., None], wo_rough, wo_diff)
+        f_rp = eval(bs, idx, wi, wo_rp, refl_scale=refl_scale, active=active)
+        p_rp = pdf(bs, idx, wi, wo_rp, refl_scale=refl_scale, active=active)
+        w_rp = f_rp / jnp.maximum(p_rp, 1e-12)[..., None]
+        wo_d[BSDF_ROUGHPLASTIC] = wo_rp
+        w_d[BSDF_ROUGHPLASTIC] = w_rp
+        p_d[BSDF_ROUGHPLASTIC] = p_rp
+
+    has_rd = _on(active, BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC)
+    if has_rd:
+        # rough dielectric (Walter): sample m, Fresnel-select branch
+        m_rd = m  # GGX-sampled microfacet (already wi-side oriented)
+        im = dot(wi, m_rd)
+        F_rd, cos_t_rd = fresnel_dielectric(im, eta)
+        rd_reflect = u1 < F_rd
+        wo_rd_refl = 2.0 * im[..., None] * m_rd - wi
+        eta_rel_rd = jnp.where(im > 0, eta, 1.0 / eta)
+        inv_eta = 1.0 / eta_rel_rd
+        # refract wi about m (Walter eq. 40)
+        c = im
+        sign_m = jnp.sign(c)
+        cos_t_abs = safe_sqrt(1.0 - (1.0 - c * c) * inv_eta * inv_eta)
+        wo_rd_tr = normalize(
+            (inv_eta * jnp.abs(c) - cos_t_abs)[..., None] * (sign_m[..., None] * m_rd)
+            - inv_eta[..., None] * wi)
+        wo_rd = jnp.where(rd_reflect[..., None], wo_rd_refl, wo_rd_tr)
+        G_rd = _ggx_g1(wi, m_rd, alpha) * _ggx_g1(wo_rd, m_rd, alpha)
+        # Walter's weight: |wi.m| G / (|ci| |m.z|) — Fresnel cancels per branch
+        w_scalar_rd = jnp.abs(im) * G_rd / jnp.maximum(
+            jnp.abs(ci) * jnp.abs(cos_theta(m_rd)), 1e-12)
+        w_rd = jnp.where(rd_reflect[..., None], spec_r,
+                         spec_t * (inv_eta * inv_eta)[..., None]) \
+            * w_scalar_rd[..., None]
+        # total internal reflection: refraction branch invalid
+        tir = cos_t_rd == 0.0
+        w_rd = jnp.where((~rd_reflect & tir)[..., None], 0.0, w_rd)
+        pdf_m_rd = _ggx_pdf_m(jnp.abs(m_rd), alpha)
+        om_rd = dot(wo_rd, m_rd)
+        denom_rd = im + eta_rel_rd * om_rd
+        pdf_rd = jnp.where(
+            rd_reflect,
+            F_rd * pdf_m_rd / jnp.maximum(4.0 * jnp.abs(om_rd), 1e-12),
+            (1.0 - F_rd) * pdf_m_rd * (eta_rel_rd * eta_rel_rd) * jnp.abs(om_rd)
+            / jnp.maximum(denom_rd * denom_rd, 1e-12))
+        eta_rd_out = jnp.where(rd_reflect, 1.0, eta_rel_rd)
+        for k in (BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC):
+            wo_d[k] = wo_rd
+            w_d[k] = w_rd
+            p_d[k] = pdf_rd
 
     # ---- select by kind ----
     def sel(vals):
@@ -284,27 +544,9 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None) -> BSDFSample:
             )
         return out
 
-    wo = sel({
-        BSDF_DIFFUSE: wo_diff, BSDF_DIELECTRIC: wo_diel,
-        BSDF_HDIELECTRIC: wo_diel, BSDF_THINDIELECTRIC: wo_thin,
-        BSDF_CONDUCTOR: wo_refl, BSDF_MIRROR: wo_refl, BSDF_NULL: wo_null,
-        BSDF_PLASTIC: wo_plastic, BSDF_ROUGHCONDUCTOR: wo_rough,
-        BSDF_PHONG: wo_phong,
-    })
-    weight = sel({
-        BSDF_DIFFUSE: w_diff, BSDF_DIELECTRIC: w_diel,
-        BSDF_HDIELECTRIC: w_diel, BSDF_THINDIELECTRIC: w_thin,
-        BSDF_CONDUCTOR: w_cond, BSDF_MIRROR: w_mirror, BSDF_NULL: w_null,
-        BSDF_PLASTIC: w_plastic, BSDF_ROUGHCONDUCTOR: w_rough,
-        BSDF_PHONG: w_phong,
-    })
-    pdf_out = sel({
-        BSDF_DIFFUSE: pdf_diff, BSDF_DIELECTRIC: pdf_diel,
-        BSDF_HDIELECTRIC: pdf_diel, BSDF_THINDIELECTRIC: pdf_thin,
-        BSDF_CONDUCTOR: jnp.ones_like(ci), BSDF_MIRROR: jnp.ones_like(ci),
-        BSDF_NULL: jnp.ones_like(ci), BSDF_PLASTIC: pdf_plastic,
-        BSDF_ROUGHCONDUCTOR: pdf_rough, BSDF_PHONG: p_ph,
-    })
+    wo = sel(wo_d)
+    weight = sel(w_d)
+    pdf_out = sel(p_d)
     delta_kinds = (
         (kind == BSDF_DIELECTRIC) | (kind == BSDF_HDIELECTRIC)
         | (kind == BSDF_THINDIELECTRIC) | (kind == BSDF_CONDUCTOR)
@@ -316,7 +558,21 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None) -> BSDFSample:
         eta_diel,
         1.0,
     )
+    if has_rd:
+        is_rd_kind = (kind == BSDF_ROUGHDIELECTRIC) | (kind == BSDF_HROUGHDIELECTRIC)
+        eta_out = jnp.where(is_rd_kind, eta_rd_out, eta_out)
     null_pass = kind == BSDF_NULL
+
+    # mask.cpp: pass through unchanged with prob (1 - opacity). The selection
+    # uniform is decorrelated from u1 by bit-mixing (opacity defaults to 1,
+    # so ordinary materials never take this branch).
+    u_op = jnp.abs(u1 * 4096.0) % 1.0
+    masked = u_op >= opacity
+    wo = jnp.where(masked[..., None], -wi, wo)
+    weight = jnp.where(masked[..., None], 1.0, weight)
+    pdf_out = jnp.where(masked, jnp.maximum(1.0 - opacity, 1e-6), pdf_out)
+    delta = delta | masked
+    null_pass = null_pass | masked
 
     # invalid sample (zero weight) handling
     bad = jnp.all(weight == 0.0, axis=-1) | (pdf_out <= 0.0)

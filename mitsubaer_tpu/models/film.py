@@ -27,11 +27,13 @@ _FILTERS = {
     "gaussian": 2,
     "mitchell": 3,
     "catmullrom": 4,
+    "lanczos": 5,
 }
 
 
 def filter_radius(name: str) -> int:
-    return {"box": 0, "tent": 1, "gaussian": 2, "mitchell": 2, "catmullrom": 2}[name]
+    return {"box": 0, "tent": 1, "gaussian": 2, "mitchell": 2,
+            "catmullrom": 2, "lanczos": 3}[name]
 
 
 def _filter_eval(name: str, x):
@@ -45,6 +47,13 @@ def _filter_eval(name: str, x):
         # stddev 0.5, radius 2, truncated (rfilters/gaussian.cpp)
         alpha = 2.0  # 1/(2 sigma^2) with sigma = 0.5
         return jnp.maximum(jnp.exp(-alpha * x * x) - jnp.exp(-alpha * 4.0), 0.0)
+    if name == "lanczos":
+        # 3-lobed Lanczos-sinc window (rfilters/lanczos.cpp)
+        pix = jnp.pi * ax
+        sinc = jnp.where(ax < 1e-4, 1.0, jnp.sin(pix) / jnp.maximum(pix, 1e-9))
+        wind = jnp.where(ax < 1e-4, 1.0,
+                         jnp.sin(pix / 3.0) / jnp.maximum(pix / 3.0, 1e-9))
+        return jnp.where(ax < 3.0, sinc * wind, 0.0)
     if name in ("mitchell", "catmullrom"):
         B, C = (1 / 3, 1 / 3) if name == "mitchell" else (0.0, 0.5)
         ax2, ax3 = ax * ax, ax * ax * ax

@@ -21,18 +21,25 @@ class CameraRays(NamedTuple):
     d: jnp.ndarray  # (N, 3)
 
 
-def sample_rays(sensor: Sensor, px, py, width, height, u_lens=None) -> CameraRays:
+def sample_rays(sensor: Sensor, px, py, width, height, u_lens=None,
+                kind_hint: int | None = None) -> CameraRays:
     """px, py: continuous pixel coordinates in [0, W] x [0, H].
     u_lens: optional (N, 2) uniforms for aperture sampling (thin lens).
+    kind_hint: static sensor kind (RenderConfig.sensor_kind) — jit then
+    compiles ONLY that camera model instead of all nine branchlessly.
 
     Kinds (reference src/sensors/): perspective (perspective.cpp), thinlens
     (thinlens.cpp — aperture disk + focus plane), orthographic
     (orthographic.cpp), spherical lat-long (spherical.cpp), radiancemeter
     (radiancemeter.cpp — one ray along +z)."""
     from ..scene.types import (
+        SENSOR_FLUENCEMETER,
+        SENSOR_IRRADIANCEMETER,
         SENSOR_ORTHOGRAPHIC,
+        SENSOR_PERSPECTIVE_RDIST,
         SENSOR_RADIANCEMETER,
         SENSOR_SPHERICAL,
+        SENSOR_TELECENTRIC,
         SENSOR_THINLENS,
     )
 
@@ -41,44 +48,90 @@ def sample_rays(sensor: Sensor, px, py, width, height, u_lens=None) -> CameraRay
     ones = jnp.ones_like(ndc_x)
     zeros = jnp.zeros_like(ndc_x)
 
+    def on(*ks):
+        return kind_hint is None or kind_hint in ks
+
     # perspective
     d_persp = jnp.stack(
         [-ndc_x * sensor.tan_x, -ndc_y * sensor.tan_y, ones], axis=-1
     )
     o_persp = jnp.zeros(d_persp.shape, d_persp.dtype)
-
-    # thin lens: offset origin on the aperture disk, aim at the focus plane
-    if u_lens is None:
-        u_lens = jnp.stack([ndc_x * 0 + 0.5, ndc_y * 0 + 0.5], axis=-1)
-    from ..core.warp import square_to_uniform_disk_concentric
-
-    lens = square_to_uniform_disk_concentric(u_lens) * sensor.aperture
-    focus_p = d_persp * sensor.focus  # point on the focus plane (z = focus)
-    o_lens = jnp.stack([lens[..., 0], lens[..., 1], zeros], axis=-1)
-    d_lens = focus_p - o_lens
-
-    # orthographic: parallel rays, tan_x acts as the half-extent
-    o_ortho = jnp.stack(
-        [-ndc_x * sensor.tan_x, -ndc_y * sensor.tan_y, zeros], axis=-1
-    )
-    d_ortho = jnp.stack([zeros, zeros, ones], axis=-1)
-
-    # spherical: full lat-long panorama
-    phi = (1.0 - px / width) * 2.0 * jnp.pi
-    theta = py / height * jnp.pi
-    st = jnp.sin(theta)
-    d_sph = jnp.stack([st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], axis=-1)
-
-    # radiancemeter: every sample measures the same ray
-    d_meter = jnp.stack([zeros, zeros, ones], axis=-1)
-
+    d_cam, o_cam = d_persp, o_persp
     kind = sensor.kind
-    d_cam = jnp.where(kind == SENSOR_THINLENS, d_lens, d_persp)
-    d_cam = jnp.where(kind == SENSOR_ORTHOGRAPHIC, d_ortho, d_cam)
-    d_cam = jnp.where(kind == SENSOR_SPHERICAL, d_sph, d_cam)
-    d_cam = jnp.where(kind == SENSOR_RADIANCEMETER, d_meter, d_cam)
-    o_cam = jnp.where(kind == SENSOR_THINLENS, o_lens, o_persp)
-    o_cam = jnp.where(kind == SENSOR_ORTHOGRAPHIC, o_ortho, o_cam)
+
+    if on(SENSOR_THINLENS, SENSOR_TELECENTRIC):
+        # thin lens: aperture-disk origin, aim at the focus plane
+        if u_lens is None:
+            u_lens = jnp.stack([ndc_x * 0 + 0.5, ndc_y * 0 + 0.5], axis=-1)
+        from ..core.warp import square_to_uniform_disk_concentric
+
+        lens = square_to_uniform_disk_concentric(u_lens) * sensor.aperture
+        focus_p = d_persp * sensor.focus
+        o_lens = jnp.stack([lens[..., 0], lens[..., 1], zeros], axis=-1)
+        d_lens = focus_p - o_lens
+        d_cam = jnp.where(kind == SENSOR_THINLENS, d_lens, d_cam)
+        o_cam = jnp.where(kind == SENSOR_THINLENS, o_lens, o_cam)
+
+    if on(SENSOR_ORTHOGRAPHIC, SENSOR_TELECENTRIC):
+        # orthographic: parallel rays, tan_x acts as the half-extent
+        o_ortho = jnp.stack(
+            [-ndc_x * sensor.tan_x, -ndc_y * sensor.tan_y, zeros], axis=-1
+        )
+        d_ortho = jnp.stack([zeros, zeros, ones], axis=-1)
+        d_cam = jnp.where(kind == SENSOR_ORTHOGRAPHIC, d_ortho, d_cam)
+        o_cam = jnp.where(kind == SENSOR_ORTHOGRAPHIC, o_ortho, o_cam)
+
+    if on(SENSOR_SPHERICAL):
+        # spherical: full lat-long panorama
+        phi = (1.0 - px / width) * 2.0 * jnp.pi
+        theta = py / height * jnp.pi
+        st = jnp.sin(theta)
+        d_sph = jnp.stack(
+            [st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], axis=-1)
+        d_cam = jnp.where(kind == SENSOR_SPHERICAL, d_sph, d_cam)
+
+    if on(SENSOR_RADIANCEMETER):
+        d_meter = jnp.stack([zeros, zeros, ones], axis=-1)
+        d_cam = jnp.where(kind == SENSOR_RADIANCEMETER, d_meter, d_cam)
+
+    if on(SENSOR_PERSPECTIVE_RDIST):
+        # radial distortion (perspective_rdist.cpp): 1 + kc0 r^2 + kc1 r^4
+        r2 = ndc_x * ndc_x + ndc_y * ndc_y
+        dist = 1.0 + sensor.kc[0] * r2 + sensor.kc[1] * r2 * r2
+        d_rdist = jnp.stack(
+            [-ndc_x * dist * sensor.tan_x, -ndc_y * dist * sensor.tan_y, ones],
+            axis=-1)
+        d_cam = jnp.where(kind == SENSOR_PERSPECTIVE_RDIST, d_rdist, d_cam)
+
+    if on(SENSOR_TELECENTRIC):
+        # telecentric.cpp: ortho footprint + per-point thin lens
+        o_tele = o_ortho + jnp.stack([lens[..., 0], lens[..., 1], zeros],
+                                     axis=-1)
+        d_tele = (o_ortho + jnp.stack([zeros, zeros, ones], axis=-1)
+                  * sensor.focus) - o_tele
+        d_cam = jnp.where(kind == SENSOR_TELECENTRIC, d_tele, d_cam)
+        o_cam = jnp.where(kind == SENSOR_TELECENTRIC, o_tele, o_cam)
+
+    if on(SENSOR_FLUENCEMETER, SENSOR_IRRADIANCEMETER):
+        u_f = jnp.stack(
+            [px / jnp.maximum(width, 1), py / jnp.maximum(height, 1)],
+            axis=-1)
+
+    if on(SENSOR_FLUENCEMETER):
+        # fluencemeter.cpp: uniform-sphere rays from the origin
+        from ..core.warp import square_to_uniform_sphere
+
+        d_flu = square_to_uniform_sphere(u_f % 1.0)
+        d_cam = jnp.where(kind == SENSOR_FLUENCEMETER, d_flu, d_cam)
+
+    if on(SENSOR_IRRADIANCEMETER):
+        # irradiancemeter.cpp: cosine rays from the unit patch
+        from ..core.warp import square_to_cosine_hemisphere
+
+        d_irr = square_to_cosine_hemisphere(u_f % 1.0)
+        o_irr = jnp.stack([ndc_x, ndc_y, zeros], axis=-1)
+        d_cam = jnp.where(kind == SENSOR_IRRADIANCEMETER, d_irr, d_cam)
+        o_cam = jnp.where(kind == SENSOR_IRRADIANCEMETER, o_irr, o_cam)
 
     d = normalize(apply_vector(sensor.to_world, d_cam))
     o = apply_point(sensor.to_world, o_cam)

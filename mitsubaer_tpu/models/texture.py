@@ -1,0 +1,102 @@
+"""Texture evaluation (reference src/textures/*.cpp + mipmap.h).
+
+Textures modulate BSDF reflectance per hit point: integrators look up
+`scene.bsdfs.texture[b_idx]` and multiply the result into the reflectance via
+the `refl_scale` argument of models/bsdf.py. Procedural textures
+(checkerboard.cpp, gridtexture.cpp, wireframe.cpp) are pure VPU arithmetic;
+bitmap.cpp becomes a bilinear row-gather into the scene's shared image
+(MIP mapping omitted: TPU renders supersample instead of prefiltering).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import smalltab
+from ..scene.types import (
+    TEX_BITMAP,
+    TEX_CHECKERBOARD,
+    TEX_GRIDTEXTURE,
+    TEX_SCALE,
+    TEX_WIREFRAME,
+    Textures,
+)
+
+
+def eval_texture(tex: Textures, tex_idx, uv, bary=None):
+    """RGB texture value at uv for per-lane texture ids (N,).
+
+    tex_idx = -1 -> 1.0 (no modulation). `bary` (N,2) optionally carries the
+    raw barycentrics for wireframe.cpp edge distance."""
+    nt = tex.kind.shape[0]
+    i = jnp.clip(tex_idx, 0, nt - 1)
+    kind = jnp.where(tex_idx >= 0, smalltab.take(tex.kind, i), -1)
+    c0 = smalltab.take(tex.color0, i)
+    c1 = smalltab.take(tex.color1, i)
+    scale = smalltab.take(tex.uv_scale, i)
+    offset = smalltab.take(tex.uv_offset, i)
+    lw = smalltab.take(tex.line_width, i)
+    use_bm = smalltab.take(tex.use_bitmap, i)
+
+    st = uv * scale + offset
+
+    # checkerboard.cpp: alternate color0/color1 on integer cells
+    cell = jnp.floor(st).astype(jnp.int32)
+    check = ((cell[..., 0] + cell[..., 1]) % 2) == 0
+    v_check = jnp.where(check[..., None], c0, c1)
+
+    # gridtexture.cpp: lines of width lw at integer coordinates
+    f = st - jnp.floor(st)
+    on_line = (jnp.minimum(f[..., 0], 1.0 - f[..., 0]) < lw) | (
+        jnp.minimum(f[..., 1], 1.0 - f[..., 1]) < lw)
+    v_grid = jnp.where(on_line[..., None], c1, c0)
+
+    # wireframe.cpp: distance to triangle edge in barycentric space
+    if bary is None:
+        bary = uv
+    b0 = bary[..., 0]
+    b1 = bary[..., 1]
+    edge = jnp.minimum(jnp.minimum(b0, b1), jnp.maximum(1.0 - b0 - b1, 0.0))
+    v_wire = jnp.where((edge < lw)[..., None], c1, c0)
+
+    # bitmap.cpp: bilinear lookup, repeat wrapping
+    Hb, Wb = tex.bitmap.shape[:2]
+    img = tex.bitmap.reshape(-1, 3)
+    x = (st[..., 0] % 1.0) * Wb - 0.5
+    y = (st[..., 1] % 1.0) * Hb - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi0 = x0 % Wb
+    xi1 = (x0 + 1) % Wb
+    yi0 = y0 % Hb
+    yi1 = (y0 + 1) % Hb
+    p00 = jnp.take(img, yi0 * Wb + xi0, axis=0)
+    p10 = jnp.take(img, yi0 * Wb + xi1, axis=0)
+    p01 = jnp.take(img, yi1 * Wb + xi0, axis=0)
+    p11 = jnp.take(img, yi1 * Wb + xi1, axis=0)
+    v_bitmap = ((p00 * (1 - fx) + p10 * fx) * (1 - fy)
+                + (p01 * (1 - fx) + p11 * fx) * fy)
+    # scale.cpp folded: color0 * bitmap
+    v_bitmap = jnp.where(use_bm[..., None], v_bitmap * jnp.where(
+        (kind == TEX_SCALE)[..., None], c0, 1.0), v_bitmap)
+
+    out = jnp.ones_like(c0)
+    out = jnp.where((kind == TEX_CHECKERBOARD)[..., None], v_check, out)
+    out = jnp.where((kind == TEX_GRIDTEXTURE)[..., None], v_grid, out)
+    out = jnp.where((kind == TEX_WIREFRAME)[..., None], v_wire, out)
+    out = jnp.where(((kind == TEX_BITMAP) | (kind == TEX_SCALE))[..., None],
+                    v_bitmap, out)
+    return out
+
+
+def bsdf_refl_scale(scene, b_idx, uv, bary=None, enabled=True):
+    """Texture multiplier for a batch of surface hits; `enabled` is a static
+    flag (RenderConfig.has_textures) so untextured scenes compile none of
+    this."""
+    if not enabled:
+        return None
+    nb = scene.bsdfs.kind.shape[0]
+    bi = jnp.clip(b_idx, 0, nb - 1)
+    t_idx = jnp.where(b_idx >= 0, smalltab.take(scene.bsdfs.texture, bi), -1)
+    return eval_texture(scene.textures, t_idx, uv, bary)

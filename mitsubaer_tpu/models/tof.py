@@ -57,3 +57,37 @@ def correlation_function(cfg: RenderConfig, t):
             v = v + _mseq(cfg, t, phase - i * (2 * np.pi) / cfg.P)
         return v - (cfg.neighbors - 1) / cfg.P
     return jnp.ones_like(t)
+
+
+def area_under_correlation(cfg: RenderConfig, n_bins: int = 1024):
+    """∫ |R(t)| dt over [min_bound, max_bound]
+    (pathlengthsampler.cpp areaUnderCorrelationGraph)."""
+    edges = jnp.linspace(cfg.min_bound, cfg.max_bound, n_bins + 1)
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    w = jnp.abs(correlation_function(cfg, mids))
+    return jnp.sum(w) * (cfg.max_bound - cfg.min_bound) / n_bins
+
+
+def sample_path_length(cfg: RenderConfig, u, n_bins: int = 256):
+    """Importance-sample a target optical path length with density
+    proportional to |R(t)| on [min_bound, max_bound]
+    (pathlengthsampler.cpp sampleRestrictedPathLength — the reference's
+    rejection sampler becomes a tabulated inverse CDF, branchless on TPU).
+
+    Returns (t, pdf). Degenerates to uniform when no modulation is set."""
+    lo = jnp.float32(cfg.min_bound)
+    hi = jnp.float32(max(cfg.max_bound, cfg.min_bound + 1e-6))
+    edges = jnp.linspace(lo, hi, n_bins + 1)
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    w = jnp.abs(correlation_function(cfg, mids)) + 1e-8
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    target = u * total
+    idx = jnp.clip(jnp.searchsorted(cdf, target), 0, n_bins - 1)
+    prev = jnp.where(idx > 0, jnp.take(cdf, jnp.maximum(idx - 1, 0)), 0.0)
+    wi = jnp.take(w, idx)
+    frac = jnp.clip((target - prev) / jnp.maximum(wi, 1e-12), 0.0, 1.0)
+    bin_w = (hi - lo) / n_bins
+    t = lo + (idx.astype(jnp.float32) + frac) * bin_w
+    pdf = wi / jnp.maximum(total * bin_w, 1e-12)
+    return t, pdf

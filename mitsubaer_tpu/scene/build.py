@@ -28,6 +28,9 @@ class _BSDF:
     cond_k: tuple = (1.0, 1.0, 1.0)
     alpha: float = 0.1
     exponent: float = 30.0
+    alpha_v: float = 0.1
+    opacity: float = 1.0
+    texture: int = -1
 
 
 @dataclass
@@ -39,6 +42,20 @@ class _Emitter:
     shape_id: int = -1
     cutoff_deg: float = 20.0
     beam_width_deg: float = 15.0
+    envmap: Optional[np.ndarray] = None  # (He, We, 3) lat-long radiance
+    to_world: Optional[np.ndarray] = None
+    scale: float = 1.0
+
+
+@dataclass
+class _Texture:
+    kind: int = T.TEX_CHECKERBOARD
+    color0: tuple = (0.4, 0.4, 0.4)
+    color1: tuple = (0.2, 0.2, 0.2)
+    uv_scale: tuple = (1.0, 1.0)
+    uv_offset: tuple = (0.0, 0.0)
+    line_width: float = 0.01
+    bitmap: Optional[np.ndarray] = None  # (Hb, Wb, 3)
 
 
 @dataclass
@@ -47,8 +64,14 @@ class _Medium:
     sigma_a: tuple = (0.0, 0.0, 0.0)
     sigma_s: tuple = (0.0, 0.0, 0.0)
     sampling_weight: float = -1.0
+    strategy: int = T.STRAT_BALANCE
+    manual_density: float = 1.0
     phase_kind: int = T.PH_ISOTROPIC
     g: float = 0.0
+    g2: float = 0.0
+    phase_mix: float = 1.0
+    kappa: float = 4.0
+    fiber_axis: tuple = (0.0, 0.0, 1.0)
     scale: float = 1.0
     # heterogeneous
     density: Optional[np.ndarray] = None       # (nz, ny, nx)
@@ -74,6 +97,8 @@ class SceneBuilder:
         self._shapes = []      # dicts: bsdf, emitter, interior, exterior
         self._bsdfs: list[_BSDF] = []
         self._emitters: list[_Emitter] = []
+        self._textures: list[_Texture] = []
+        self._mesh_uvs = []    # per-mesh (V,2) uv arrays or None
         self._media: list[_Medium] = []
         self._sensor = None
         self.config = T.RenderConfig()
@@ -92,9 +117,15 @@ class SceneBuilder:
         self._emitters.append(_Emitter(kind=kind, **kw))
         return len(self._emitters) - 1
 
+    def add_texture(self, kind=T.TEX_CHECKERBOARD, **kw) -> int:
+        """Register a texture (reference src/textures/*.cpp); returns its id
+        for _BSDF.texture."""
+        self._textures.append(_Texture(kind=kind, **kw))
+        return len(self._textures) - 1
+
     # -- shapes ------------------------------------------------------------
     def add_mesh(self, verts, faces, bsdf=-1, emitter_radiance=None,
-                 interior=-1, exterior=-1, to_world=None) -> int:
+                 interior=-1, exterior=-1, to_world=None, uv=None) -> int:
         verts = np.asarray(verts, np.float32)
         if to_world is not None:
             m = np.asarray(to_world, np.float32)
@@ -110,6 +141,7 @@ class SceneBuilder:
         self._verts.append(verts)
         self._faces.append(np.asarray(faces, np.int32))
         self._face_shape.append(shape_id)
+        self._mesh_uvs.append(None if uv is None else np.asarray(uv, np.float32))
         return shape_id
 
     def add_sphere(self, center, radius, bsdf=-1, emitter_radiance=None,
@@ -132,6 +164,38 @@ class SceneBuilder:
         )
         f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
         return self.add_mesh(v, f, to_world=to_world, **kw)
+
+    def add_disk(self, to_world, segments: int = 64, **kw) -> int:
+        """Unit disk in the XY plane (shapes/disk.cpp), tessellated."""
+        ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+        rim = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)
+        v = np.concatenate([[[0.0, 0.0, 0.0]], rim]).astype(np.float32)
+        f = np.stack([np.zeros(segments, np.int32),
+                      np.arange(1, segments + 1, dtype=np.int32),
+                      np.roll(np.arange(1, segments + 1, dtype=np.int32), -1)],
+                     -1)
+        return self.add_mesh(v, f, to_world=to_world, **kw)
+
+    def add_cylinder(self, p0, p1, radius, segments: int = 64, **kw) -> int:
+        """Open cylinder between p0 and p1 (shapes/cylinder.cpp)."""
+        p0 = np.asarray(p0, np.float32)
+        p1 = np.asarray(p1, np.float32)
+        axis = p1 - p0
+        ln = np.linalg.norm(axis)
+        w = axis / max(ln, 1e-9)
+        # orthonormal frame
+        a = np.array([1.0, 0, 0]) if abs(w[0]) < 0.9 else np.array([0, 1.0, 0])
+        u = np.cross(w, a)
+        u /= np.linalg.norm(u)
+        vv = np.cross(w, u)
+        ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+        ring = (np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * vv) * radius
+        verts = np.concatenate([p0 + ring, p1 + ring]).astype(np.float32)
+        f = []
+        for i in range(segments):
+            j = (i + 1) % segments
+            f += [[i, j, segments + j], [i, segments + j, segments + i]]
+        return self.add_mesh(verts, np.asarray(f, np.int32), **kw)
 
     def add_cube(self, to_world, **kw) -> int:
         """Unit cube [-1,1]^3 (shapes/cube.cpp), outward normals."""
@@ -179,16 +243,27 @@ class SceneBuilder:
     def build(self) -> T.Scene:
         # geometry
         if self._verts:
-            tri_v, tri_s = [], []
-            for verts, faces, sid in zip(self._verts, self._faces, self._face_shape):
+            tri_v, tri_s, tri_uv = [], [], []
+            for verts, faces, sid, uv in zip(self._verts, self._faces,
+                                             self._face_shape, self._mesh_uvs):
                 tri = verts[faces]  # (F, 3, 3)
                 tri_v.append(tri)
                 tri_s.append(np.full(len(faces), sid, np.int32))
+                if uv is None:
+                    # default: barycentric uv per face (u,v of MT intersection)
+                    base = np.zeros((len(faces), 3, 2), np.float32)
+                    base[:, 1, 0] = 1.0
+                    base[:, 2, 1] = 1.0
+                    tri_uv.append(base)
+                else:
+                    tri_uv.append(uv[faces])
             tri = np.concatenate(tri_v, axis=0)
             tri_shape = np.concatenate(tri_s, axis=0)
+            tri_uvs = np.concatenate(tri_uv, axis=0)  # (F, 3, 2)
         else:
             tri = np.zeros((1, 3, 3), np.float32)
             tri_shape = np.full((1,), -1, np.int32)
+            tri_uvs = np.zeros((1, 3, 2), np.float32)
         v0 = tri[:, 0]
         e1 = tri[:, 1] - tri[:, 0]
         e2 = tri[:, 2] - tri[:, 0]
@@ -208,6 +283,9 @@ class SceneBuilder:
         geo = T.Geometry(
             v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
             ng=jnp.asarray(ng), shape_id=jnp.asarray(tri_shape),
+            uv0=jnp.asarray(tri_uvs[:, 0]),
+            uve1=jnp.asarray(tri_uvs[:, 1] - tri_uvs[:, 0]),
+            uve2=jnp.asarray(tri_uvs[:, 2] - tri_uvs[:, 0]),
             sph_center=jnp.asarray(sc), sph_radius=jnp.asarray(sr),
             sph_shape_id=jnp.asarray(ss),
         )
@@ -232,11 +310,29 @@ class SceneBuilder:
             cond_k=jnp.asarray(np.array([b.cond_k for b in self._bsdfs], np.float32)),
             alpha=jnp.asarray(np.array([b.alpha for b in self._bsdfs], np.float32)),
             exponent=jnp.asarray(np.array([b.exponent for b in self._bsdfs], np.float32)),
+            alpha_v=jnp.asarray(np.array([b.alpha_v for b in self._bsdfs], np.float32)),
+            opacity=jnp.asarray(np.array([b.opacity for b in self._bsdfs], np.float32)),
+            texture=jnp.asarray(np.array([b.texture for b in self._bsdfs], np.int32)),
         )
 
         emitters = self._build_emitters(tri, tri_shape, areas2)
         sensor = self._build_sensor()
         media = self._build_media()
+        textures = self._build_textures()
+
+        kinds = {b.kind for b in self._bsdfs}
+        if any(s_["bsdf"] < 0 for s_ in self._shapes):
+            kinds.add(T.BSDF_NULL)
+        self.config = self.config._replace(
+            bsdf_kinds=tuple(sorted(kinds)),
+            has_textures=any(b.texture >= 0 for b in self._bsdfs),
+            medium_strategies=any(
+                m.strategy != T.STRAT_BALANCE for m in self._media),
+            phase_kinds=tuple(sorted({m.phase_kind for m in self._media}))
+            or (T.PH_ISOTROPIC,),
+            sensor_kind=int((self._sensor or {}).get(
+                "kind", T.SENSOR_PERSPECTIVE)),
+        )
 
         # scene bounds
         pts = [tri.reshape(-1, 3)]
@@ -246,7 +342,7 @@ class SceneBuilder:
         allp = np.concatenate(pts, axis=0)
         return T.Scene(
             geo=geo, shapes=sh, bsdfs=bs, emitters=emitters, sensor=sensor,
-            media=media,
+            media=media, textures=textures,
             aabb_min=jnp.asarray(allp.min(axis=0)),
             aabb_max=jnp.asarray(allp.max(axis=0)),
             camera_medium=jnp.asarray(self.camera_medium, jnp.int32),
@@ -297,6 +393,61 @@ class SceneBuilder:
             tri_emitter=jnp.asarray(np.array(tri_emitter, np.int32)),
             tri_offset=jnp.asarray(tri_offset),
             tri_count=jnp.asarray(tri_count),
+            **self._envmap_tables(),
+        )
+
+    def _envmap_tables(self):
+        """Precompute lat-long importance-sampling CDFs (envmap.cpp builds
+        the same hierarchical tables at load; a flat row/col CDF suffices)."""
+        env = next((e for e in self._emitters if e.kind == T.EM_ENVMAP
+                    and e.envmap is not None), None)
+        if env is None:
+            return dict(
+                env_map=jnp.ones((1, 1, 3), jnp.float32),
+                env_cdf_rows=jnp.ones((1,), jnp.float32),
+                env_cdf_cond=jnp.ones((1, 1), jnp.float32),
+                env_to_world=jnp.eye(3, dtype=jnp.float32),
+                env_scale=jnp.asarray(1.0, jnp.float32),
+            )
+        img = np.asarray(env.envmap, np.float32)
+        He, We = img.shape[:2]
+        lum = img @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+        theta = (np.arange(He) + 0.5) / He * np.pi
+        w = lum * np.sin(theta)[:, None] + 1e-12
+        row_w = w.sum(axis=1)
+        cdf_rows = np.cumsum(row_w) / row_w.sum()
+        cdf_cond = np.cumsum(w, axis=1) / w.sum(axis=1, keepdims=True)
+        rot = np.eye(3, dtype=np.float32)
+        if env.to_world is not None:
+            rot = np.asarray(env.to_world, np.float32)[:3, :3]
+        return dict(
+            env_map=jnp.asarray(img),
+            env_cdf_rows=jnp.asarray(cdf_rows.astype(np.float32)),
+            env_cdf_cond=jnp.asarray(cdf_cond.astype(np.float32)),
+            env_to_world=jnp.asarray(rot),
+            env_scale=jnp.asarray(env.scale, jnp.float32),
+        )
+
+    def _build_textures(self) -> T.Textures:
+        if not self._textures:
+            return T.empty_textures()
+        bitmap = np.ones((1, 1, 3), np.float32)
+        use_bitmap = []
+        for t in self._textures:
+            if t.bitmap is not None:
+                bitmap = np.asarray(t.bitmap, np.float32)
+                use_bitmap.append(True)
+            else:
+                use_bitmap.append(False)
+        return T.Textures(
+            kind=jnp.asarray(np.array([t.kind for t in self._textures], np.int32)),
+            color0=jnp.asarray(np.array([t.color0 for t in self._textures], np.float32)),
+            color1=jnp.asarray(np.array([t.color1 for t in self._textures], np.float32)),
+            uv_scale=jnp.asarray(np.array([t.uv_scale for t in self._textures], np.float32)),
+            uv_offset=jnp.asarray(np.array([t.uv_offset for t in self._textures], np.float32)),
+            line_width=jnp.asarray(np.array([t.line_width for t in self._textures], np.float32)),
+            use_bitmap=jnp.asarray(np.array(use_bitmap, bool)),
+            bitmap=jnp.asarray(bitmap),
         )
 
     def _build_sensor(self) -> T.Sensor:
@@ -307,6 +458,7 @@ class SceneBuilder:
         s.setdefault("kind", T.SENSOR_PERSPECTIVE)
         s.setdefault("aperture", 0.0)
         s.setdefault("focus", 1.0)
+        s.setdefault("kc", (0.0, 0.0))
         w, h = self.config.width, self.config.height
         aspect = w / h
         tan_half = np.tan(np.deg2rad(s["fov_deg"]) / 2)
@@ -325,6 +477,7 @@ class SceneBuilder:
             far=jnp.asarray(s["far"], jnp.float32),
             aperture=jnp.asarray(s["aperture"], jnp.float32),
             focus=jnp.asarray(s["focus"], jnp.float32),
+            kc=jnp.asarray(s["kc"], jnp.float32),
         )
 
     def _build_media(self) -> T.Media:
@@ -390,9 +543,17 @@ class SceneBuilder:
             sigma_a=jnp.asarray(sigma_a),
             sigma_s=jnp.asarray(sigma_s),
             sampling_weight=jnp.asarray(sw),
+            strategy=jnp.asarray(np.array([m.strategy for m in self._media], np.int32)),
+            manual_density=jnp.asarray(np.array([m.manual_density for m in self._media], np.float32)),
             phase=T.PhaseTable(
                 kind=jnp.asarray(np.array([m.phase_kind for m in self._media], np.int32)),
                 g=jnp.asarray(np.array([m.g for m in self._media], np.float32)),
+                g2=jnp.asarray(np.array([m.g2 for m in self._media], np.float32)),
+                mix=jnp.asarray(np.array([m.phase_mix for m in self._media], np.float32)),
+                kappa=jnp.asarray(np.array([m.kappa for m in self._media], np.float32)),
+                axis=jnp.asarray(np.array(
+                    [np.asarray(m.fiber_axis) / max(np.linalg.norm(m.fiber_axis), 1e-9)
+                     for m in self._media], np.float32)),
             ),
             scale=jnp.asarray(np.array([m.scale for m in self._media], np.float32)),
             density=density,

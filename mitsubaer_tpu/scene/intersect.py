@@ -37,6 +37,7 @@ class Hit(NamedTuple):
     p: jnp.ndarray         # (N, 3) hit position
     ng: jnp.ndarray        # (N, 3) geometric normal (unit, faces outward)
     uv: jnp.ndarray        # (N, 2) barycentric
+    tex_uv: jnp.ndarray    # (N, 2) interpolated texture coordinates
 
 
 SPHERE_FLAG = np.int32(1 << 30)
@@ -186,8 +187,12 @@ def intersect_spheres(geo: Geometry, o, d, t_min, t_max):
     return t[n, best], best, t[n, best] < INF
 
 
-def intersect(geo: Geometry, o, d, t_min, t_max) -> Hit:
-    """Closest-hit over triangles + analytic spheres."""
+def intersect(geo: Geometry, o, d, t_min, t_max, need_uv: bool = False) -> Hit:
+    """Closest-hit over triangles + analytic spheres.
+
+    need_uv: interpolate texture coordinates (static; textured scenes only —
+    the three extra per-triangle attribute fetches cost real bandwidth at
+    wavefront width)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     tt, tprim, tu, tv, tok = intersect_triangles(geo, o, d, t_min, t_max)
@@ -217,10 +222,22 @@ def intersect(geo: Geometry, o, d, t_min, t_max) -> Hit:
     ng = jnp.where(use_sph[:, None], sph_ng, tri_ng)
     shape_id = jnp.where(use_sph, sph_shape, tri_shape)
     uv = jnp.stack([tu, tv], axis=-1)
+    if need_uv:
+        # interpolated texture coords (trimesh texcoords; spheres: lat-long)
+        uv0 = smalltab.take(geo.uv0, tprim_c, max_unroll=_TAKE_UNROLL)
+        uve1 = smalltab.take(geo.uve1, tprim_c, max_unroll=_TAKE_UNROLL)
+        uve2 = smalltab.take(geo.uve2, tprim_c, max_unroll=_TAKE_UNROLL)
+        tri_uv = uv0 + tu[:, None] * uve1 + tv[:, None] * uve2
+        sph_u = 0.5 + jnp.arctan2(sph_ng[:, 1], sph_ng[:, 0]) / (2 * np.pi)
+        sph_v = 0.5 - jnp.arcsin(jnp.clip(sph_ng[:, 2], -1, 1)) / np.pi
+        tex_uv = jnp.where(use_sph[:, None],
+                           jnp.stack([sph_u, sph_v], axis=-1), tri_uv)
+    else:
+        tex_uv = uv
     return Hit(
         t=t, valid=valid, prim=prim,
         shape_id=jnp.where(valid, shape_id, -1),
-        p=p, ng=ng, uv=uv,
+        p=p, ng=ng, uv=uv, tex_uv=tex_uv,
     )
 
 

@@ -27,6 +27,17 @@ BSDF_PHONG = 8
 BSDF_MIRROR = 9
 BSDF_HDIELECTRIC = 10  # eta queried from RIF at the hit point (hdielectric.cpp)
 BSDF_ROUGHPLASTIC = 11
+BSDF_WARD = 12
+BSDF_DIFFTRANS = 13       # diffuse transmitter (difftrans.cpp)
+BSDF_HROUGHDIELECTRIC = 14  # rough dielectric w/ RIF-queried eta (hroughdielectric.cpp)
+
+# Texture kinds (models/texture.py; reference src/textures/*)
+TEX_NONE = -1
+TEX_CHECKERBOARD = 0
+TEX_GRIDTEXTURE = 1
+TEX_BITMAP = 2
+TEX_WIREFRAME = 3
+TEX_SCALE = 4          # scale.cpp: constant * nested (we fold: color0 * bitmap)
 
 # Emitter kinds (models/emitter.py)
 EM_AREA = 0
@@ -35,16 +46,30 @@ EM_DIRECTIONAL = 2
 EM_COLLIMATED = 3
 EM_CONSTANT = 4
 EM_SPOT = 5
+EM_ENVMAP = 6
 
 # Medium kinds (models/medium.py)
 MED_HOMOGENEOUS = 0
 MED_HETEROGENEOUS = 1
 MED_REFRACTIVE = 2
 
+# Homogeneous distance-sampling strategies (homogeneous.cpp:143 EBalance/
+# ESingle/EManual/EMaximum)
+STRAT_BALANCE = 0
+STRAT_SINGLE = 1
+STRAT_MANUAL = 2
+STRAT_MAXIMUM = 3
+
 # Phase kinds
 PH_ISOTROPIC = 0
 PH_HG = 1
 PH_RAYLEIGH = 2
+PH_VMF = 3        # von Mises-Fisher lobe (src/phase/vmf.cpp, vmf2.cpp)
+PH_MIXTURE = 4    # two-lobe HG mixture (src/phase/mixturephase.cpp)
+PH_KKAY = 5       # Kajiya-Kay fiber phase (src/phase/kkay.cpp)
+PH_MICROFLAKE = 6  # vMF-distributed flakes about a fiber axis
+#   (src/phase/microflake.cpp + microflake_fiber.h; constant-axis variant —
+#   per-voxel orientation fields hook in via Media.albedo-style grids later)
 
 
 class Geometry(NamedTuple):
@@ -55,6 +80,9 @@ class Geometry(NamedTuple):
     e2: jnp.ndarray        # (T, 3) v2 - v0
     ng: jnp.ndarray        # (T, 3) unit geometric normal
     shape_id: jnp.ndarray  # (T,) int32
+    uv0: jnp.ndarray       # (T, 2) texture coords at v0 (trimesh.cpp m_texcoords)
+    uve1: jnp.ndarray      # (T, 2) uv1 - uv0
+    uve2: jnp.ndarray      # (T, 2) uv2 - uv0
     sph_center: jnp.ndarray    # (S, 3)
     sph_radius: jnp.ndarray    # (S,)
     sph_shape_id: jnp.ndarray  # (S,) int32
@@ -79,8 +107,26 @@ class BSDFs(NamedTuple):
     eta: jnp.ndarray            # (NB,) relative IOR int/ext (dielectrics)
     cond_eta: jnp.ndarray       # (NB, 3) conductor eta
     cond_k: jnp.ndarray         # (NB, 3) conductor k
-    alpha: jnp.ndarray          # (NB,) GGX roughness
+    alpha: jnp.ndarray          # (NB,) GGX roughness (ward: alpha_u)
     exponent: jnp.ndarray       # (NB,) phong exponent
+    alpha_v: jnp.ndarray        # (NB,) ward anisotropic roughness v
+    opacity: jnp.ndarray        # (NB,) mask.cpp opacity (1 = fully opaque)
+    texture: jnp.ndarray        # (NB,) int32 texture id modulating
+    #   reflectance (-1 = constant; models/texture.py)
+
+
+class Textures(NamedTuple):
+    """Texture table (reference src/textures/*.cpp). One shared bitmap per
+    scene (static pytree shape); procedural textures are per-row params."""
+
+    kind: jnp.ndarray       # (NT,) int32 TEX_*
+    color0: jnp.ndarray     # (NT, 3)
+    color1: jnp.ndarray     # (NT, 3)
+    uv_scale: jnp.ndarray   # (NT, 2)
+    uv_offset: jnp.ndarray  # (NT, 2)
+    line_width: jnp.ndarray  # (NT,) gridtexture/wireframe line width
+    use_bitmap: jnp.ndarray  # (NT,) bool: row samples the shared bitmap
+    bitmap: jnp.ndarray     # (Hb, Wb, 3) shared image ((1,1,3) if unused)
 
 
 class Emitters(NamedTuple):
@@ -93,6 +139,13 @@ class Emitters(NamedTuple):
     area: jnp.ndarray        # (NE,) total surface area of area emitters
     cutoff_cos: jnp.ndarray  # (NE,) spot cutoff cosine
     beam_falloff_cos: jnp.ndarray  # (NE,)
+    # shared lat-long environment map (envmap.cpp); (1,1,3) when absent.
+    # env_* rows: precomputed sampling tables (importance-sampled lat-long)
+    env_map: jnp.ndarray       # (He, We, 3)
+    env_cdf_rows: jnp.ndarray  # (He,) marginal CDF over rows (sin-weighted)
+    env_cdf_cond: jnp.ndarray  # (He, We) conditional CDF per row
+    env_to_world: jnp.ndarray  # (3, 3) rotation
+    env_scale: jnp.ndarray     # () radiance scale
     # flattened per-triangle sampling table for area emitters
     tri_index: jnp.ndarray   # (M,) int32 global triangle id
     tri_cdf: jnp.ndarray     # (M,) cdf within the owning emitter's segment
@@ -107,6 +160,10 @@ SENSOR_THINLENS = 1
 SENSOR_ORTHOGRAPHIC = 2
 SENSOR_SPHERICAL = 3
 SENSOR_RADIANCEMETER = 4
+SENSOR_TELECENTRIC = 5     # telecentric.cpp: ortho footprint + thin lens
+SENSOR_PERSPECTIVE_RDIST = 6  # perspective_rdist.cpp: radial distortion
+SENSOR_FLUENCEMETER = 7    # fluencemeter.cpp: uniform-sphere rays from a point
+SENSOR_IRRADIANCEMETER = 8  # irradiancemeter.cpp: cosine rays from a patch
 
 
 class Sensor(NamedTuple):
@@ -118,11 +175,16 @@ class Sensor(NamedTuple):
     far: jnp.ndarray
     aperture: jnp.ndarray    # () thin-lens aperture radius
     focus: jnp.ndarray       # () focus distance
+    kc: jnp.ndarray          # (2,) radial distortion coefficients (rdist)
 
 
 class PhaseTable(NamedTuple):
     kind: jnp.ndarray  # (NM,) int32 per medium
-    g: jnp.ndarray     # (NM,) HG asymmetry
+    g: jnp.ndarray     # (NM,) HG asymmetry (mixture: first lobe)
+    g2: jnp.ndarray    # (NM,) mixture second-lobe asymmetry
+    mix: jnp.ndarray   # (NM,) mixture weight of first lobe
+    kappa: jnp.ndarray  # (NM,) vMF / microflake concentration
+    axis: jnp.ndarray  # (NM, 3) fiber axis (kkay / microflake)
 
 
 class GridData(NamedTuple):
@@ -145,6 +207,8 @@ class Media(NamedTuple):
     sigma_a: jnp.ndarray    # (NM, 3)
     sigma_s: jnp.ndarray    # (NM, 3)
     sampling_weight: jnp.ndarray  # (NM,) mediumSamplingWeight
+    strategy: jnp.ndarray   # (NM,) int32 STRAT_* (homogeneous sampling)
+    manual_density: jnp.ndarray  # (NM,) EManual strategy density
     phase: PhaseTable
     scale: jnp.ndarray      # (NM,) heterogeneous density scale
     # heterogeneous: sigma_t = scale * density(p) * sigma_t_color
@@ -174,9 +238,23 @@ class Scene(NamedTuple):
     emitters: Emitters
     sensor: Sensor
     media: Media
+    textures: Textures
     aabb_min: jnp.ndarray
     aabb_max: jnp.ndarray
     camera_medium: jnp.ndarray  # int32 medium id at the camera, -1 = vacuum
+
+
+def empty_textures() -> Textures:
+    return Textures(
+        kind=jnp.full((1,), TEX_NONE, jnp.int32),
+        color0=jnp.ones((1, 3), jnp.float32),
+        color1=jnp.zeros((1, 3), jnp.float32),
+        uv_scale=jnp.ones((1, 2), jnp.float32),
+        uv_offset=jnp.zeros((1, 2), jnp.float32),
+        line_width=jnp.full((1,), 0.01, jnp.float32),
+        use_bitmap=jnp.zeros((1,), bool),
+        bitmap=jnp.ones((1, 1, 3), jnp.float32),
+    )
 
 
 class RenderConfig(NamedTuple):
@@ -219,6 +297,16 @@ class RenderConfig(NamedTuple):
     #   path/volpath renders with a box filter)
     wf_track_iters: int = 4      # wavefront engine: heterogeneous tracking
     #   iterations per event pass (tune to the scene's taps-per-bounce)
+    bsdf_kinds: tuple = ()       # static set of BSDF kinds in the scene;
+    #   jit compiles only these lobes (() = all, models/bsdf.py _on)
+    has_textures: bool = False   # static: any BSDF carries a texture
+    medium_strategies: bool = False  # static: any medium uses a non-balance
+    #   homogeneous sampling strategy (single/manual/maximum)
+    wf_epoch_ring: int = 0       # wavefront film ring depth (0 = sppc: no
+    #   stalls, per-sample slots; small values cap pending-buffer traffic at
+    #   the cost of a min-completed barrier across lanes)
+    phase_kinds: tuple = ()      # static set of phase kinds in the scene
+    sensor_kind: int = -1        # static sensor kind (-1 = compile all)
 
     @property
     def n_frames(self) -> int:
@@ -235,7 +323,12 @@ def empty_media() -> Media:
         sigma_a=z3,
         sigma_s=z3,
         sampling_weight=jnp.ones((1,), jnp.float32),
-        phase=PhaseTable(jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.float32)),
+        strategy=jnp.zeros((1,), jnp.int32),
+        manual_density=jnp.ones((1,), jnp.float32),
+        phase=PhaseTable(jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.float32),
+                         jnp.zeros((1,), jnp.float32), jnp.ones((1,), jnp.float32),
+                         jnp.ones((1,), jnp.float32),
+                         jnp.concatenate([jnp.zeros((1, 2)), jnp.ones((1, 1))], axis=-1).astype(jnp.float32)),
         scale=jnp.ones((1,), jnp.float32),
         density=g1,
         albedo=g1,

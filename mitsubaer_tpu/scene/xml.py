@@ -14,6 +14,7 @@ import os
 import re
 import xml.etree.ElementTree as ET
 
+import os
 import numpy as np
 
 from ..core import transform as tf
@@ -28,17 +29,19 @@ _BSDF_KINDS = {
     "roughdiffuse": T.BSDF_DIFFUSE,
     "dielectric": T.BSDF_DIELECTRIC,
     "thindielectric": T.BSDF_THINDIELECTRIC,
-    "roughdielectric": T.BSDF_DIELECTRIC,
+    "roughdielectric": T.BSDF_ROUGHDIELECTRIC,
     "conductor": T.BSDF_CONDUCTOR,
     "roughconductor": T.BSDF_ROUGHCONDUCTOR,
     "plastic": T.BSDF_PLASTIC,
-    "roughplastic": T.BSDF_PLASTIC,
+    "roughplastic": T.BSDF_ROUGHPLASTIC,
     "phong": T.BSDF_PHONG,
     "mirror": T.BSDF_MIRROR,
     "null": T.BSDF_NULL,
     "mask": T.BSDF_NULL,
     "hdielectric": T.BSDF_HDIELECTRIC,
-    "hroughdielectric": T.BSDF_HDIELECTRIC,
+    "hroughdielectric": T.BSDF_HROUGHDIELECTRIC,
+    "ward": T.BSDF_WARD,
+    "difftrans": T.BSDF_DIFFTRANS,
 }
 
 _IOR_NAMES = {
@@ -183,7 +186,9 @@ class XMLLoader:
         self.integrator = {
             "path": "path", "volpath": "volpath",
             "volpath_simple": "volpath_simple", "bdpt": "volpath",
-            "direct": "direct", "ao": "ao",
+            "direct": "direct", "ao": "ao", "ptracer": "ptracer",
+            "pssmlt": "pssmlt", "mlt": "pssmlt", "erpt": "pssmlt",
+            "photonmapper": "photonmapper", "ppm": "ppm", "sppm": "sppm",
         }.get(t, "volpath")
 
     def _sensor(self, node):
@@ -390,9 +395,33 @@ class XMLLoader:
             return tuple(rad)  # handled by the shape
         kind = {"point": T.EM_POINT, "spot": T.EM_SPOT,
                 "directional": T.EM_DIRECTIONAL, "collimated": T.EM_COLLIMATED,
-                "constant": T.EM_CONSTANT}.get(t, T.EM_POINT)
+                "constant": T.EM_CONSTANT, "envmap": T.EM_ENVMAP,
+                "sky": T.EM_ENVMAP, "sun": T.EM_ENVMAP,
+                "sunsky": T.EM_ENVMAP}.get(t, T.EM_POINT)
         kw = dict(radiance=tuple(rad), position=tuple(pos),
                   direction=tuple(direction))
+        if t == "envmap":
+            from ..utils import io as io_m
+            fn = p.get("filename")
+            img = io_m.read_image(os.path.join(self.dir, fn)) if fn else np.ones(
+                (2, 4, 3), np.float32)
+            kw = dict(envmap=np.asarray(img, np.float32), to_world=to_world,
+                      scale=float(p.get("scale", 1.0)))
+        elif t in ("sky", "sun", "sunsky"):
+            from ..models.emitter import make_sky_envmap
+            sd = np.asarray(p.get("sunDirection", (0.3, 0.3, 0.9)), np.float32)
+            img = make_sky_envmap(
+                sd, turbidity=float(p.get("turbidity", 3.0)),
+                sun_scale=float(p.get("sunScale", 1.0)),
+                sky_scale=float(p.get("skyScale", 1.0)),
+                with_sun=t in ("sun", "sunsky"))
+            if t == "sun":
+                img *= 0.0  # sky part off; re-bake with sun only
+                img = make_sky_envmap(
+                    sd, turbidity=float(p.get("turbidity", 3.0)),
+                    sun_scale=float(p.get("sunScale", 1.0)), sky_scale=0.0)
+            kw = dict(envmap=img, to_world=to_world,
+                      scale=float(p.get("scale", 1.0)))
         if t == "spot":
             kw["cutoff_deg"] = float(p.get("cutoffAngle", 20.0))
             kw["beam_width_deg"] = float(p.get("beamWidth", kw["cutoff_deg"] * 0.75))

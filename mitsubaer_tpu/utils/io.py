@@ -123,10 +123,13 @@ def _exr_attr(name: str, typ: str, data: bytes) -> bytes:
     return name.encode() + b"\0" + typ.encode() + b"\0" + struct.pack("<i", len(data)) + data
 
 
-def write_exr(path, image: np.ndarray, channel_names=None):
+def write_exr(path, image: np.ndarray, channel_names=None, annotations=None):
     """Write a scanline EXR, float32, ZIP-per-16-scanlines compression.
 
     image: (H, W) or (H, W, C). Default channels RGB(A)/Y by C.
+    annotations: optional {str: str} metadata written as string attributes
+    (hdrfilm.cpp:140-205 bakes render time/spp/log into the EXR the same
+    way).
     """
     img = np.asarray(image, np.float32)
     if img.ndim == 2:
@@ -150,6 +153,8 @@ def write_exr(path, image: np.ndarray, channel_names=None):
     header += _exr_attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
     header += _exr_attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
     header += _exr_attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    for k, v in sorted((annotations or {}).items()):
+        header += _exr_attr(str(k), "string", str(v).encode())
     header += b"\0"
 
     blocks = []
@@ -328,3 +333,74 @@ def write_png(path, image, gamma=True):
         img = np.where(img <= 0.0031308, img * 12.92, 1.055 * np.maximum(img, 1e-8) ** (1 / 2.4) - 0.055)
     img8 = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
     Image.fromarray(img8).save(path)
+
+
+def read_image(path):
+    """Read an EXR (native reader) or 8-bit PNG into float32 (H, W, 3)
+    (bitmap.cpp front door; JPG/PFM/RGBE fall back to EXR semantics when
+    converted offline)."""
+    p = str(path)
+    if p.lower().endswith(".exr"):
+        img, _names = read_exr(p)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        return img[..., :3]
+    if p.lower().endswith((".png",)):
+        import struct as _struct
+        import zlib as _zlib
+
+        with open(p, "rb") as f:
+            data = f.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        pos, w, h, bitd, ctype = 8, 0, 0, 8, 2
+        idat = b""
+        while pos < len(data):
+            (ln,) = _struct.unpack(">I", data[pos:pos + 4])
+            typ = data[pos + 4:pos + 8]
+            chunk = data[pos + 8:pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, bitd, ctype = _struct.unpack(">IIBB", chunk[:10])
+            elif typ == b"IDAT":
+                idat += chunk
+            pos += 12 + ln
+        raw = _zlib.decompress(idat)
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        stride = w * nch
+        img = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.uint8)
+        off = 0
+        for row in range(h):
+            ft = raw[off]
+            line = np.frombuffer(raw[off + 1:off + 1 + stride], np.uint8).copy()
+            off += 1 + stride
+            if ft == 1:
+                for i in range(nch, stride):
+                    line[i] = (int(line[i]) + int(line[i - nch])) & 0xFF
+            elif ft == 2:
+                line = (line.astype(np.int32) + prev).astype(np.uint8)
+            elif ft == 3:
+                for i in range(stride):
+                    a = int(line[i - nch]) if i >= nch else 0
+                    line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+            elif ft == 4:
+                for i in range(stride):
+                    a = int(line[i - nch]) if i >= nch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (int(line[i]) + pred) & 0xFF
+            img[row] = line
+            prev = line
+        arr = img.reshape(h, w, nch).astype(np.float32) / 255.0
+        if nch == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        elif nch >= 3:
+            arr = arr[..., :3]
+        else:
+            arr = np.repeat(arr[..., :1], 3, axis=-1)
+        # sRGB -> linear (bitmap.cpp gamma handling)
+        return np.where(arr <= 0.04045, arr / 12.92,
+                        ((arr + 0.055) / 1.055) ** 2.4).astype(np.float32)
+    raise ValueError(f"unsupported image format: {p}")

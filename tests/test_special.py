@@ -106,3 +106,33 @@ class TestChi2:
     def test_threshold_sane(self):
         # chi2 0.9975 quantile for dof=50 is ~83.7
         assert abs(special.chi2_threshold(50) - 83.66) < 1.5
+
+
+class TestPathLengthSampler:
+    def test_importance_matches_correlation(self):
+        import jax.numpy as jnp
+        from mitsubaer_tpu.models import tof
+        from mitsubaer_tpu.scene.types import RenderConfig
+
+        cfg = RenderConfig(modulation="sine", lambda_=2.0,
+                           min_bound=0.0, max_bound=4.0)
+        u = jnp.asarray(np.random.default_rng(0).random(100000), jnp.float32)
+        t, pdf = tof.sample_path_length(cfg, u)
+        h, be = np.histogram(np.asarray(t), bins=64, range=(0, 4), density=True)
+        mids = 0.5 * (be[:-1] + be[1:])
+        ref = np.abs(np.cos(mids * np.pi))
+        ref = ref / (ref.sum() * (be[1] - be[0]))
+        assert np.corrcoef(h, ref)[0, 1] > 0.99
+        np.testing.assert_allclose(float((1 / np.asarray(pdf)).mean()), 4.0,
+                                   rtol=0.02)
+
+    def test_area_under_correlation(self):
+        import jax.numpy as jnp
+        from mitsubaer_tpu.models import tof
+        from mitsubaer_tpu.scene.types import RenderConfig
+
+        cfg = RenderConfig(modulation="sine", lambda_=2.0,
+                           min_bound=0.0, max_bound=2.0)
+        # ∫|cos(pi t)| over one period of length 2 = 4/pi
+        a = float(tof.area_under_correlation(cfg))
+        np.testing.assert_allclose(a, 4 / np.pi, rtol=1e-2)
