@@ -93,14 +93,47 @@ def _sample_emitter_ray(scene: Scene, smp):
     is_point = kind == EM_POINT
     is_spot = kind == EM_SPOT
     is_coll = kind == EM_COLLIMATED
+    is_dir = kind == EM_DIRECTIONAL
+    is_const = kind == EM_CONSTANT
+    is_env = kind == EM_ENVMAP
 
+    # distant emitters (directional/constant/envmap) emit from the scene
+    # bounding sphere (constant.cpp/envmap.cpp sampleRay): pick an emission
+    # direction de, then a uniform point on the disk of radius R facing de,
+    # pushed back outside the sphere. pdf = pdf(de) * 1/(pi R^2).
+    center = 0.5 * (scene.aabb_min + scene.aabb_max)
+    R = 0.5 * jnp.linalg.norm(scene.aabb_max - scene.aabb_min) * 1.01
+    if emitter_m._has_envmap(scene):
+        d_env, pdf_env, L_env = emitter_m.sample_env_direction(scene, u_pos)
+    else:
+        d_env, pdf_env, L_env = d_sph, jnp.ones_like(u_sel), radiance
+    # d_env points from the scene toward the environment; light propagates
+    # the other way. edir is already the propagation direction.
+    de = jnp.where(is_dir[..., None], edir,
+                   jnp.where(is_env[..., None], -d_env, -d_sph))
+    fr_disk = Frame.from_normal(de)
+    disk2 = warp.square_to_uniform_disk_concentric(u_dir)
+    p_disk = (center - de * R
+              + fr_disk.to_world(jnp.concatenate(
+                  [disk2 * R, jnp.zeros_like(disk2[..., :1])], axis=-1)))
+    disk_area = jnp.pi * R * R
+    w_dir = radiance * disk_area            # irradiance E * pi R^2
+    w_const = radiance * (4.0 * jnp.pi * disk_area)  # L/(1/4pi * 1/(piR^2))
+    w_env = L_env * (disk_area / jnp.maximum(pdf_env, 1e-12))[..., None]
+
+    distant = is_dir | is_const | is_env
     o = jnp.where(is_area[..., None], p_area, pos)
+    o = jnp.where(distant[..., None], p_disk, o)
     d = jnp.where(is_area[..., None], d_cos, d_sph)
     d = jnp.where(is_spot[..., None], d_cone, d)
+    d = jnp.where(distant[..., None], de, d)
     d = jnp.where(is_coll[..., None], edir, d)
     w = jnp.where(is_area[..., None], w_area, w_point)
     w = jnp.where(is_spot[..., None], w_spot, w)
     w = jnp.where(is_coll[..., None], radiance, w)  # beam power as-is
+    w = jnp.where(is_dir[..., None], w_dir, w)
+    w = jnp.where(is_const[..., None], w_const, w)
+    w = jnp.where(is_env[..., None], w_env, w)
     w = w * jnp.float32(ne)  # uniform emitter pick
 
     # emission-side medium: area emitters start in the shape's exterior;

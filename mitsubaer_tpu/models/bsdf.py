@@ -238,7 +238,11 @@ def eval(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
         f_rd = jnp.where(is_refl[..., None], spec_r * f_rd_refl[..., None],
                          spec_t * f_rd_trans[..., None])
         out = jnp.where(is_rd[..., None], f_rd, out)
-    return out
+    # mask.cpp: the non-delta part of a masked material is opacity * f; the
+    # (1-opacity) passthrough is a delta lobe and evals to zero. opacity
+    # defaults to 1, so this is a no-op for ordinary materials.
+    _, opacity = _params_aniso(bs, idx)
+    return out * opacity[..., None]
 
 
 def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
@@ -315,17 +319,23 @@ def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
         p_rd = jnp.where(is_refl, Frd * pdf_m_rd * jac_refl,
                          (1.0 - Frd) * pdf_m_rd * jac_trans)
         out = jnp.where(is_rd, p_rd, out)
-    return out
+    # mask.cpp: the continuous lobe is selected with prob opacity (the
+    # remaining (1-opacity) mass is the delta passthrough, not part of the
+    # solid-angle pdf). Mirrors the opacity factor applied in eval().
+    _, opacity = _params_aniso(bs, idx)
+    return out * opacity
 
 
 # --------------------------------------------------------------------------
 # sample
 # --------------------------------------------------------------------------
 def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
-           refl_scale=None, active=None) -> BSDFSample:
+           refl_scale=None, active=None, u_op=None) -> BSDFSample:
     """Sample all lobes branchlessly and select by kind.
 
-    u2: (N, 2) for direction, u1: (N,) for lobe selection."""
+    u2: (N, 2) for direction, u1: (N,) for lobe selection, u_op: optional
+    dedicated uniform for the mask/opacity passthrough test (falls back to a
+    bit-mix of u1, which correlates with lobe choice under LDS samplers)."""
     kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
         bs, idx, refl_scale)
     if eta_override is not None:
@@ -566,7 +576,8 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
     # mask.cpp: pass through unchanged with prob (1 - opacity). The selection
     # uniform is decorrelated from u1 by bit-mixing (opacity defaults to 1,
     # so ordinary materials never take this branch).
-    u_op = jnp.abs(u1 * 4096.0) % 1.0
+    if u_op is None:
+        u_op = jnp.abs(u1 * 4096.0) % 1.0
     masked = u_op >= opacity
     wo = jnp.where(masked[..., None], -wi, wo)
     weight = jnp.where(masked[..., None], 1.0, weight)

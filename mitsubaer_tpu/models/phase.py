@@ -66,7 +66,10 @@ def _kkay_value(wi, wo, axis, expn=4.0):
     diffuse = st_o / (jnp.pi * jnp.pi)  # ∫ sinθ dω = pi^2
     # specular: reflect wi about the fiber axis
     wr = 2.0 * dot(wi, axis, keepdims=True) * axis - wi
-    spec = jnp.maximum(dot(wr, wo), 0.0) ** expn * (expn + 1.0) / (2.0 * jnp.pi * jnp.pi)
+    # cos^p lobe integrates to 2pi/(p+1) over its hemisphere, so the
+    # normalized lobe is (p+1)/(2pi) * cos^p (kkay.cpp quadrature-normalizes
+    # numerically; this closed form matches for the lobe in isolation)
+    spec = jnp.maximum(dot(wr, wo), 0.0) ** expn * (expn + 1.0) / (2.0 * jnp.pi)
     return 0.7 * diffuse + 0.3 * spec
 
 

@@ -433,6 +433,14 @@ class SceneBuilder:
             return T.empty_textures()
         bitmap = np.ones((1, 1, 3), np.float32)
         use_bitmap = []
+        n_bitmaps = sum(1 for t in self._textures if t.bitmap is not None)
+        if n_bitmaps > 1:
+            # single-shared-bitmap constraint: with >1 distinct images every
+            # bitmap texture would silently sample the last-loaded one
+            raise ValueError(
+                f"scene uses {n_bitmaps} bitmap textures but the texture "
+                "table holds a single shared image; atlas them into one "
+                "bitmap or use procedural textures")
         for t in self._textures:
             if t.bitmap is not None:
                 bitmap = np.asarray(t.bitmap, np.float32)
