@@ -252,6 +252,12 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = ptracer_m.render_ptracer(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "bdpt":
+        from . import bdpt as bdpt_m
+
+        with stats.timed("render.wall"):
+            img = bdpt_m.render_bdpt(scene, cfg, seed=seed)
+        return img
     if cfg.integrator in ("pssmlt", "pssmlt_volpath", "mlt"):
         from . import pssmlt as pssmlt_m
 

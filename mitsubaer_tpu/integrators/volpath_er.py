@@ -208,8 +208,23 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         want_scatter = hs_  # medium interaction requested by the sampler
         march_dist = jnp.where(want_scatter, t_samp, 1e6)
         n_start = ek.rif_value(rif, s.o)
+        # er_f64: run the eikonal ODE core in float64 (the reference compiles
+        # its eikonal math double via FLOATDEBUG, fwd.h:174-184) — JAX's
+        # promotion rules carry the f64 state through rif/sdf evaluations;
+        # the per-event cast back to the f32 path state is one rounding vs
+        # the thousands of accumulating steps it protects
+        if cfg.er_f64:
+            import jax as _jax
+            if not _jax.config.read("jax_enable_x64"):
+                raise RuntimeError(
+                    "cfg.er_f64 requires jax_enable_x64 (set "
+                    "JAX_ENABLE_X64=1 or jax.config.update)")
+            _erf = jnp.float64
+        else:
+            _erf = jnp.float32
         p_m, v_m, opt_m, geo_m, exited_m, _ = ek.trace_curved(
-            rif, sdf, s.o, s.v, march_dist, h, max_march, in_act,
+            rif, sdf, s.o.astype(_erf), s.v.astype(_erf),
+            march_dist.astype(_erf), h, max_march, in_act,
             differentiable=differentiable,
         )
         scattered = in_act & want_scatter & ~exited_m
@@ -220,6 +235,10 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         v_m = jnp.where(exited[..., None], v_b, v_m)
         opt_m = jnp.where(exited, opt_m + opt_b, opt_m)
         geo_m = jnp.where(exited, geo_m + adv_b, geo_m)
+        p_m = p_m.astype(jnp.float32)
+        v_m = v_m.astype(jnp.float32)
+        opt_m = opt_m.astype(jnp.float32)
+        geo_m = geo_m.astype(jnp.float32)
 
         n_end = ek.rif_value(rif, p_m)
         ref_ratio_sq = (n_end / jnp.maximum(n_start, 1e-6)) ** 2
@@ -252,40 +271,29 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         nee_in = (scattered & depth_ok & (dsm.pdf > 0)
                   & jnp.any(dsm.value > 0, axis=-1) & (dsm_kind != EM_CONSTANT))
         chord = normalize(dsm.p - p_m)
+        # full reference restart machinery (makeDirectConnections,
+        # heterogeneousrefractive.cpp:1087-1163): uniform-hemisphere
+        # restarts, RR'd failures with 1/rr_weight compensation, Zeltner
+        # re-find consistency check and Booth multiplicity compensation —
+        # all inside solve_bvp. The per-lane restart RNG is decorrelated
+        # from the path sampler by hashing (lane, sample index, bounce).
+        seed_bits = rng._hash_u32(
+            smp.lane + smp.index * jnp.uint32(0x9E3779B9)
+            + smp.seed * jnp.uint32(0xC2B2AE35)
+            + s.iters.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         bvp = ek.solve_bvp(
-            rif, sdf, p_m, dsm.p, chord, h, max_march, nee_in,
+            rif, sdf, p_m.astype(_erf), dsm.p.astype(_erf),
+            chord.astype(_erf), h, max_march, nee_in,
             tol2=cfg.bvp_tol2, differentiable=differentiable,
+            rr_weight=cfg.rr_weight, seed_bits=seed_bits,
+            max_restarts=cfg.bvp_restarts,
         )
-        # russian-roulette retry of failed solves from a random restart
-        # direction in the hemisphere around the chord, compensated by
-        # 1/rr_weight (reference heterogeneousrefractive.cpp:1078-1084,
-        # :1146-1155 — failed Ceres solves are RR'd into fresh restarts
-        # rather than silently dropped, which would bias hard connections
-        # toward zero)
-        u_rr_b, smp = rng.next_1d(smp)
-        u2r, smp = rng.next_2d(smp)
-        rr_keep = u_rr_b < cfg.rr_weight
-        retry_act = nee_in & ~bvp.converged & rr_keep
-
-        def _retry(_):
-            frame_c = Frame.from_normal(chord)
-            from ..core import warp as warp_m
-            d_loc = warp_m.square_to_uniform_hemisphere(u2r)
-            d_restart = frame_c.to_world(d_loc)
-            return ek.solve_bvp(
-                rif, sdf, p_m, dsm.p, d_restart, h, max_march, retry_act,
-                tol2=cfg.bvp_tol2, differentiable=differentiable,
-            )
-
-        bvp2 = jax.lax.cond(jnp.any(retry_act), _retry, lambda _: bvp, None)
-        use2 = retry_act & bvp2.converged
-        bvp = jax.tree.map(
-            lambda a, b: jnp.where(
-                use2.reshape(use2.shape + (1,) * (a.ndim - 1)), b, a),
-            bvp, bvp2)
+        if cfg.er_f64:
+            bvp = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, bvp)
         bvp_ok = bvp.converged
-        conn_w = jnp.where(bvp.converged,
-                           jnp.where(use2, 1.0 / cfg.rr_weight, 1.0), 0.0)
+        conn_w = jnp.where(bvp.converged, bvp.weight, 0.0)
         d_in_m = normalize(v_m)
         ph_val = phase_m.eval(media.phase,
                               jnp.broadcast_to(med_idx, (n,)),

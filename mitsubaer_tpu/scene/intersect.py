@@ -73,11 +73,10 @@ def _tri_chunk_hit(v0, e1, e2, o, d, t_best):
 _UNROLL_MAX = 64
 
 
-def _tri_unrolled_hit(geo: Geometry, o, d):
-    """Small scenes: statically unrolled per-triangle Moller-Trumbore with
-    only (N,)/(N,3)-shaped intermediates. The (N,C,3) formulation below
-    materializes gigabyte-scale intermediates at wavefront widths; this
-    variant measured ~9x faster on v5e at 12 tris / 1M rays."""
+def _tri_unrolled_hit_vec(geo: Geometry, o, d):
+    """(N,3)-vector form of the unrolled MT loop (jnp.cross/stack based).
+    Fewer, larger HLOs than the component form — kept selectable because
+    fusion behavior differs when embedded in a big pass (WF_ISECT env)."""
     n = o.shape[0]
     best_t = jnp.full((n,), INF)
     best_prim = jnp.zeros((n,), jnp.int32)
@@ -94,6 +93,54 @@ def _tri_unrolled_hit(geo: Geometry, o, d):
         qvec = jnp.cross(tvec, te1[None, :])
         v = jnp.sum(d * qvec, -1) * inv
         t = (qvec @ te2) * inv
+        hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+        closer = hit & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_prim = jnp.where(closer, i, best_prim)
+        best_u = jnp.where(closer, u, best_u)
+        best_v = jnp.where(closer, v, best_v)
+    return best_t, best_prim, best_u, best_v
+
+
+def _tri_unrolled_hit(geo: Geometry, o, d):
+    """Small scenes: statically unrolled per-triangle Moller-Trumbore.
+
+    Fully component-wise over (N,) lane arrays — no jnp.cross / stack /
+    dot_general, whose stacked (N,3) intermediates defeat XLA elementwise
+    fusion and turn a 12-triangle test into ~0.7 ms of HBM round-trips at
+    wavefront width. With scalar triangle constants folded in, the whole
+    loop fuses into one VPU kernel (bandwidth: read o,d + write 4 arrays)."""
+    import os
+    if os.environ.get("WF_ISECT") == "vector":
+        return _tri_unrolled_hit_vec(geo, o, d)
+    n = o.shape[0]
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    best_t = jnp.full((n,), INF)
+    best_prim = jnp.zeros((n,), jnp.int32)
+    best_u = jnp.zeros((n,))
+    best_v = jnp.zeros((n,))
+    for i in range(geo.v0.shape[0]):
+        tv0, te1, te2 = geo.v0[i], geo.e1[i], geo.e2[i]
+        e1x, e1y, e1z = te1[0], te1[1], te1[2]
+        e2x, e2y, e2z = te2[0], te2[1], te2[2]
+        # pvec = d x e2
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = px * e1x + py * e1y + pz * e1z
+        ok = jnp.abs(det) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tx = ox - tv0[0]
+        ty = oy - tv0[1]
+        tz = oz - tv0[2]
+        u = (tx * px + ty * py + tz * pz) * inv
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
         hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
         closer = hit & (t < best_t)
         best_t = jnp.where(closer, t, best_t)

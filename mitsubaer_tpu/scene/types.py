@@ -285,6 +285,11 @@ class RenderConfig(NamedTuple):
     er_maxsteps: int = 4096
     bvp_tol2: float = 1e-6
     rr_weight: float = 1e-2
+    bvp_restarts: int = 8        # max rounds of the curved-NEE restart loop
+    #   (makeDirectConnections while(true); 0 = legacy single chord solve)
+    er_f64: bool = False         # run the eikonal ODE/BVP core in float64
+    #   (reference compiles eikonal math double via FLOATDEBUG, fwd.h:174;
+    #   needs jax x64 enabled — CPU validation / high-accuracy renders)
     hide_emitters: bool = False
     strict_normals: bool = False
     sample_direct: bool = True   # bdpt sampleDirect analogue
@@ -297,6 +302,10 @@ class RenderConfig(NamedTuple):
     #   path/volpath renders with a box filter)
     wf_track_iters: int = 4      # wavefront engine: heterogeneous tracking
     #   iterations per event pass (tune to the scene's taps-per-bounce)
+    wf_mini_passes: int = 2      # wavefront engine: cheap transition passes
+    #   per super-iteration (null crossings / env escapes / flush+regen
+    #   resolve without paying for NEE setup + direction sampling); 0
+    #   restores the round-2 E+T pattern
     bsdf_kinds: tuple = ()       # static set of BSDF kinds in the scene;
     #   jit compiles only these lobes (() = all, models/bsdf.py _on)
     has_textures: bool = False   # static: any BSDF carries a texture

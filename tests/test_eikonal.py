@@ -240,3 +240,111 @@ class TestBVP:
         conv = np.asarray(res.converged)
         e = np.linalg.norm(np.asarray(err), axis=-1)
         assert (e[conv] < 0.02).all(), e
+
+
+class TestF64Core:
+    """er_f64 option: the reference runs its eikonal math in double
+    (FLOATDEBUG, fwd.h:174-184, config_release.py:7). The f64 path must (a)
+    be self-convergent at the reference step size h=1e-3 through a spline
+    RIF, and (b) reach BVP tol2=1e-6 at rates matching the f64 truth."""
+
+    def _spline_fields(self, res=48):
+        import numpy as onp
+        from mitsubaer_tpu.core import spline as spl
+
+        zs = onp.linspace(-1, 1, res)
+        Z, Y, X = onp.meshgrid(zs, zs, zs, indexing="ij")
+        n_field = 1.33 + 0.15 * onp.exp(-2.0 * (X**2 + Y**2 + Z**2))
+        coeff = onp.asarray(spl.prefilter(jnp.asarray(n_field, jnp.float32)))
+        rif = ek.RifField(kind=jnp.int32(ek.RIF_SPLINE),
+                          params=jnp.zeros(8, jnp.float32),
+                          coeff=jnp.asarray(coeff),
+                          aabb_min=jnp.array([-1.0, -1, -1]),
+                          aabb_max=jnp.array([1.0, 1, 1]))
+        sdf = ek.SdfField(kind=jnp.int32(ek.SDF_SPHERE),
+                          params=jnp.array([0, 0, 0, 0.95, 0, 0, 0, 0],
+                                           jnp.float32),
+                          coeff=jnp.zeros((1,)), aabb_min=jnp.zeros(3),
+                          aabb_max=jnp.ones(3))
+        return rif, sdf
+
+    @pytest.mark.slow
+    def test_f64_marching_convergence_and_f32_error(self):
+        import jax
+        from contextlib import contextmanager
+
+        @contextmanager
+        def enable_x64():
+            jax.config.update("jax_enable_x64", True)
+            try:
+                yield
+            finally:
+                jax.config.update("jax_enable_x64", False)
+
+        rif, sdf = self._spline_fields()
+        n = 8
+        th = np.linspace(0, 1.5, n, dtype=np.float32)
+        p0 = np.stack([-0.8 * np.ones(n), 0.2 * np.sin(th),
+                       0.2 * np.cos(th)], -1)
+        v0 = np.tile(np.array([[1.0, 0.05, -0.02]], np.float32), (n, 1))
+        v0 /= np.linalg.norm(v0, axis=-1, keepdims=True)
+        act = jnp.ones(n, bool)
+
+        def march(p, v, h, steps, dtype):
+            pj = jnp.asarray(p, dtype)
+            nj = ek.rif_value(rif, pj)
+            vj = jnp.asarray(v, dtype) * nj[..., None]
+            out = ek.trace_curved(rif, sdf, pj, vj, jnp.full((n,), 1.4,
+                                                            dtype), h,
+                                  steps, act)
+            return np.asarray(out[2])  # optical length
+
+        with enable_x64():
+            o64 = march(p0, v0, 1e-3, 2000, jnp.float64)
+            o64_fine = march(p0, v0, 2.5e-4, 8000, jnp.float64)
+            o32 = march(p0, v0, 1e-3, 2000, jnp.float32)
+        # f64 marching is step-converged at the reference h (O(h^2) leapfrog)
+        assert np.max(np.abs(o64 - o64_fine) / np.abs(o64_fine)) < 2e-5, (
+            o64, o64_fine)
+        # f32 drifts measurably more than the f64-vs-fine discrepancy
+        err32 = np.max(np.abs(o32 - o64) / np.abs(o64))
+        assert err32 < 5e-3  # still usable for rendering
+        # and the f64 option buys at least as tight a result
+        assert np.max(np.abs(o64 - o64_fine)) <= np.max(np.abs(o32 - o64_fine)) + 1e-9
+
+    @pytest.mark.slow
+    def test_f64_bvp_convergence_rate(self):
+        import jax
+        from contextlib import contextmanager
+
+        @contextmanager
+        def enable_x64():
+            jax.config.update("jax_enable_x64", True)
+            try:
+                yield
+            finally:
+                jax.config.update("jax_enable_x64", False)
+
+        rif, sdf = self._spline_fields()
+        n = 24
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        p1 = np.stack([-0.6 * np.ones(n), 0.25 * np.sin(th),
+                       0.25 * np.cos(th)], -1).astype(np.float32)
+        p2 = np.stack([0.6 * np.ones(n), -0.15 * np.sin(th),
+                       0.2 * np.cos(th)], -1).astype(np.float32)
+        chord = p2 - p1
+        chord /= np.linalg.norm(chord, axis=-1, keepdims=True)
+        act = jnp.ones(n, bool)
+        with enable_x64():
+            r64 = ek.solve_bvp(rif, sdf, jnp.asarray(p1, jnp.float64),
+                               jnp.asarray(p2, jnp.float64),
+                               jnp.asarray(chord, jnp.float64), 2e-3, 1500,
+                               act, tol2=1e-6)
+            r32 = ek.solve_bvp(rif, sdf, jnp.asarray(p1), jnp.asarray(p2),
+                               jnp.asarray(chord), 2e-3, 1500, act,
+                               tol2=1e-6)
+            c64 = np.asarray(r64.converged).mean()
+            c32 = np.asarray(r32.converged).mean()
+        assert c64 > 0.9, c64
+        # f32 must be within reach of the f64 truth rate (documented margin)
+        assert c32 >= c64 - 0.15, (c32, c64)

@@ -11,6 +11,9 @@ from mitsubaer_tpu.diff import render as diff_render
 from mitsubaer_tpu.scene import types as T
 from mitsubaer_tpu.scene.build import SceneBuilder
 
+# minutes-long FD/chain validations (VERDICT r2: >9 min individually)
+pytestmark = pytest.mark.slow
+
 
 def absorbing_slab(sigma_a=0.5, res=6):
     b = SceneBuilder()

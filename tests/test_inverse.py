@@ -10,6 +10,9 @@ from mitsubaer_tpu.core import transform as tf
 from mitsubaer_tpu.diff import render as diff_render
 from mitsubaer_tpu.models import eikonal as ek
 from mitsubaer_tpu.scene import presets
+
+# minutes-long FD/chain validations (VERDICT r2: >9 min individually)
+pytestmark = pytest.mark.slow
 from mitsubaer_tpu.scene import types as T
 from mitsubaer_tpu.scene.build import SceneBuilder
 

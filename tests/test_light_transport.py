@@ -9,6 +9,9 @@ import pytest
 from mitsubaer_tpu.scene import presets
 from mitsubaer_tpu.integrators import render
 
+# minutes-long FD/chain validations (VERDICT r2: >9 min individually)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cbox_ref():

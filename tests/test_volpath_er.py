@@ -127,3 +127,79 @@ class TestCurvedRendering:
         assert img.shape[-1] == 3 * F
         per_bin = img.reshape(12, 12, F, 3).sum(axis=(0, 1, 3))
         assert (per_bin > 0).sum() >= 3  # energy spread over several bins
+
+
+class TestBVPMultiplicity:
+    """The curved-NEE restart machinery (makeDirectConnections,
+    heterogeneousrefractive.cpp:1087-1163): uniform-hemisphere restarts,
+    RR'd failures, Zeltner re-find check and Booth multiplicity weighting.
+    A strong radial-Gaussian lens with a near-axis source/target pair has
+    three distinct connecting rays (near-chord + over/under the core) —
+    an unbiased estimator of the summed connection must report
+    E[weight] == #solutions, where the old single-retry weight-1 scheme
+    reports P(converge) <= 1."""
+
+    def _fields(self):
+        rif = ek.RifField(
+            kind=jnp.int32(ek.RIF_RADIAL),
+            params=jnp.array([1.0, 0.8, 0.35, 0, 0, 0, 0, 0], jnp.float32),
+            coeff=jnp.zeros((1,)), aabb_min=jnp.zeros(3),
+            aabb_max=jnp.ones(3))
+        sdf = ek.SdfField(
+            kind=jnp.int32(ek.SDF_SPHERE),
+            params=jnp.array([0, 0, 0, 1.0, 0, 0, 0, 0], jnp.float32),
+            coeff=jnp.zeros((1,)), aabb_min=jnp.zeros(3),
+            aabb_max=jnp.ones(3))
+        return rif, sdf
+
+    @pytest.mark.slow
+    def test_multi_solution_weight_unbiased(self):
+        import jax
+        from mitsubaer_tpu.core import rng
+
+        rif, sdf = self._fields()
+        n = 1024
+        p1 = jnp.tile(jnp.array([[-0.7, 0.02, 0.0]], jnp.float32), (n, 1))
+        p2 = jnp.tile(jnp.array([[0.7, 0.02, 0.0]], jnp.float32), (n, 1))
+        chord = (p2 - p1) / jnp.linalg.norm(p2 - p1, axis=-1, keepdims=True)
+        act = jnp.ones(n, bool)
+        seed_bits = rng._hash_u32(
+            jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+            + jnp.uint32(13))
+        r = jax.jit(lambda: ek.solve_bvp(
+            rif, sdf, p1, p2, chord, 0.01, 3000, act, tol2=1e-6,
+            rr_weight=0.9, seed_bits=seed_bits, max_restarts=64))()
+        w_eff = np.where(np.asarray(r.converged), np.asarray(r.weight), 0.0)
+        mean, sem = w_eff.mean(), w_eff.std() / np.sqrt(n)
+        # 3 solutions; allow truncation slack + 3 sigma
+        assert 3.0 - 3.5 * sem - 0.45 < mean < 3.0 + 3.5 * sem + 0.45, (mean, sem)
+        # the legacy weight-1 scheme measurably underestimates (<= 1)
+        r0 = jax.jit(lambda: ek.solve_bvp(
+            rif, sdf, p1, p2, chord, 0.01, 3000, act, tol2=1e-6))()
+        w0 = np.where(np.asarray(r0.converged), np.asarray(r0.weight), 0.0)
+        assert w0.mean() <= 1.0 + 1e-6
+
+    def test_single_solution_weight_one(self):
+        import jax
+        from mitsubaer_tpu.core import rng
+
+        rif, sdf = self._fields()
+        # weak lens: unique connection
+        rif = rif._replace(
+            params=jnp.array([1.3, 0.1, 0.5, 0, 0, 0, 0, 0], jnp.float32))
+        n = 128
+        p1 = jnp.tile(jnp.array([[-0.5, 0.2, 0.1]], jnp.float32), (n, 1))
+        p2 = jnp.tile(jnp.array([[0.6, -0.1, 0.0]], jnp.float32), (n, 1))
+        chord = (p2 - p1) / jnp.linalg.norm(p2 - p1, axis=-1, keepdims=True)
+        act = jnp.ones(n, bool)
+        seed_bits = rng._hash_u32(
+            jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(40503) + jnp.uint32(5))
+        # rr_weight=1: failed solves always retry with no weight scaling, so
+        # the returned weight isolates the multiplicity factor
+        r = jax.jit(lambda: ek.solve_bvp(
+            rif, sdf, p1, p2, chord, 0.01, 2000, act, tol2=1e-6,
+            rr_weight=1.0, seed_bits=seed_bits, max_restarts=32))()
+        conv = np.asarray(r.converged)
+        assert conv.mean() > 0.9
+        w = np.asarray(r.weight)[conv]
+        assert np.all(np.abs(w - 1.0) < 1e-6), np.unique(w)
