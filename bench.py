@@ -1,37 +1,38 @@
 """Benchmark: forward rays/s on the heterogeneous volumetric scene
-(BASELINE.json metric). Prints ONE JSON line.
+(BASELINE.json metric) + the eikonal configs (BASELINE configs 4-5).
+Prints ONE JSON line.
 
 Metric: traced ray segments per second (extension segments + shadow-ray
 segments, each requiring scene intersection + medium traversal) — the
 standard renderer Mrays/s convention. The persistent-wavefront engine
-counts its segments exactly (integrators/wavefront.py stats).
+counts its segments exactly (integrators/wavefront.py stats). The ER
+configs report camera samples/s (curved paths have no comparable segment
+count; each sample is a full curved transport path with BVP connections).
 
 Runs on the real TPU chip; everything is jitted, the axon tunnel only sees
 compiled programs and scalar results.
 """
 import json
+import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jaxcache"))
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+def bench_het(jax, jnp, np):
     from mitsubaer_tpu.integrators.render import render_pass_wavefront
     from mitsubaer_tpu.scene import presets
 
-    res = 512
-    sppc = 32   # large per-pass sample budget amortizes the wavefront tail
-    max_depth = 12
+    res, sppc, max_depth = 512, 32, 12
     scene, cfg = presets.volumetric_box(
         res=res, spp=sppc, heterogeneous=True, density_res=64,
         max_depth=max_depth,
     )
-    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3)
+    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3,
+                       wf_mini_passes=1)
     scene = jax.device_put(scene)
     npix = res * res
-
     L = jnp.zeros((npix, 3), jnp.float32)
 
     def one_pass(L, pass_idx):
@@ -40,11 +41,8 @@ def main():
             has_direct=False, any_het=True,
         )
 
-    # warmup / compile. NOTE: through the axon tunnel block_until_ready can
-    # return before execution finishes — force a real device->host fetch.
     L, stats = one_pass(L, jnp.asarray(0, jnp.uint32))
     _ = float(L.sum()) + int(stats[0])
-
     n_iters = 3
     segs = 0
     t0 = time.perf_counter()
@@ -53,24 +51,120 @@ def main():
         segs += int(stats[0])
     _ = float(L.sum())
     dt = time.perf_counter() - t0
-
     samples = npix * sppc * n_iters
-    mrays = segs / dt / 1e6
-    msamples = samples / dt / 1e6
-
     img = np.asarray(L / (sppc * (n_iters + 1)))
-    ok = bool(np.isfinite(img).all() and img.mean() > 0)
+    return dict(
+        mrays=segs / dt / 1e6,
+        msamples=samples / dt / 1e6,
+        segs_per_sample=segs / samples,
+        valid=bool(np.isfinite(img).all() and img.mean() > 0),
+        config=f"volumetric heterogeneous {res}x{res} spp{sppc} "
+               f"depth{max_depth}",
+    )
+
+
+def bench_er_forward(jax, jnp, np):
+    """BASELINE config 4: linear-RIF eikonal forward render."""
+    from mitsubaer_tpu.integrators import render as rm
+    from mitsubaer_tpu.models import eikonal as ek
+    from mitsubaer_tpu.scene import presets
+
+    res, spp = 128, 2
+    scene, cfg = presets.refractive_sphere(
+        res=res, spp=spp, max_depth=6, rif_kind=ek.RIF_LINEAR,
+        rif_params=(1.3, 0.15, 0.0, 0.0), er_stepsize=5e-3,
+        emitter="point", filter="box")
+    cfg = cfg._replace(er_maxsteps=1024)
+    scene = jax.device_put(scene)
+    img = rm.render(scene, cfg, seed=0)          # compile + warm
+    _ = float(jnp.asarray(img).sum())
+    t0 = time.perf_counter()
+    img = rm.render(scene, cfg, seed=1)
+    m = float(jnp.asarray(img).mean())
+    dt = time.perf_counter() - t0
+    return dict(msamples=res * res * spp / dt / 1e6,
+                valid=bool(np.isfinite(m) and m > 0),
+                config=f"linear-RIF ER {res}x{res} spp{spp} h5e-3")
+
+
+def bench_er_grad(jax, jnp, np):
+    """BASELINE config 5: radial-RIF ultrasound lens + RIF-parameter
+    gradient (fwd+bwd samples/s)."""
+    import functools
+
+    from mitsubaer_tpu.core import rng
+    from mitsubaer_tpu.integrators import volpath_er
+    from mitsubaer_tpu.models import eikonal as ek
+    from mitsubaer_tpu.models import sensor as sensor_m
+    from mitsubaer_tpu.scene import presets
+
+    res, spp = 64, 2
+    scene, cfg = presets.refractive_sphere(
+        res=res, spp=spp, max_depth=4, rif_kind=ek.RIF_RADIAL,
+        rif_params=(1.33, 0.1, 0.5, 0.0, 0.0, 0.0), er_stepsize=1e-2,
+        emitter="point", filter="box")
+    cfg = cfg._replace(er_maxsteps=384)
+    scene = jax.device_put(scene)
+    npix = res * res
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "sppc"))
+    def grad_fn(scene, cfg, sppc, seed):
+        def loss(params):
+            sc = scene._replace(
+                media=scene.media._replace(rif_params=params))
+            pixel = jnp.tile(jnp.arange(npix, dtype=jnp.uint32), (sppc,))
+            sidx = jnp.repeat(jnp.arange(sppc, dtype=jnp.uint32), npix)
+            smp = rng.make_sampler(seed, pixel, sidx)
+            jit2, smp = rng.next_2d(smp)
+            px = (pixel % res).astype(jnp.float32) + jit2[:, 0]
+            py = (pixel // res).astype(jnp.float32) + jit2[:, 1]
+            rays = sensor_m.sample_rays(sc.sensor, px, py, res, res)
+            sink, _ = volpath_er.li(sc, cfg, rays.o, rays.d, smp,
+                                    pixel=pixel, differentiable=True)
+            return jnp.mean(sink.steady)
+
+        return jax.grad(loss)(scene.media.rif_params)
+
+    gv = np.asarray(grad_fn(scene, cfg, spp, jnp.uint32(0)))  # compile
+    t0 = time.perf_counter()
+    gv = np.asarray(grad_fn(scene, cfg, spp, jnp.uint32(1)))
+    dt = time.perf_counter() - t0
+    return dict(msamples=npix * spp / dt / 1e6,
+                valid=bool(np.isfinite(gv).all() and np.any(gv != 0)),
+                config=f"radial-RIF ER grad {res}x{res} spp{spp}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    het = bench_het(jax, jnp, np)
+    try:
+        er_f = bench_er_forward(jax, jnp, np)
+    except Exception as e:  # never lose the headline number
+        er_f = dict(msamples=0.0, valid=False, config=f"error: {e}"[:120])
+    try:
+        er_g = bench_er_grad(jax, jnp, np)
+    except Exception as e:
+        er_g = dict(msamples=0.0, valid=False, config=f"error: {e}"[:120])
 
     baseline = 100.0  # Mrays/s/chip target (BASELINE.json north star)
     print(json.dumps({
         "metric": "forward_Mrays_per_s_per_chip",
-        "value": round(mrays, 3),
+        "value": round(het["mrays"], 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline, 4),
-        "samples_per_s_M": round(msamples, 4),
-        "segments_per_sample": round(segs / samples, 2),
-        "valid_image": ok,
-        "config": f"volumetric heterogeneous {res}x{res} spp{sppc} depth{max_depth}",
+        "vs_baseline": round(het["mrays"] / baseline, 4),
+        "samples_per_s_M": round(het["msamples"], 4),
+        "segments_per_sample": round(het["segs_per_sample"], 2),
+        "valid_image": het["valid"],
+        "config": het["config"],
+        "er_forward_Msamples_per_s": round(er_f["msamples"], 4),
+        "er_forward_valid": er_f["valid"],
+        "er_forward_config": er_f["config"],
+        "er_grad_Msamples_per_s": round(er_g["msamples"], 4),
+        "er_grad_valid": er_g["valid"],
+        "er_grad_config": er_g["config"],
     }))
 
 

@@ -215,15 +215,20 @@ def _bsdf_f_at(scene, cfg, sub, k, wi_w, wo_w):
 
 
 def _mis_weight(scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
-                ov_lt2, rev_lt_origin, cam_pdf0_rev):
+                ov_lt2, rev_lt_origin, npix):
     """Balance-heuristic MIS over strategies with the same path length.
 
     pbrt-v3 MISWeight structure on z_1..z_{t-1} (= cam[0..t-2]) and
     y_0..y_{s-1} (= light0 + lt[0..s-2]); junction reverse pdfs supplied:
       ov_cam  = pdfRev of z_{t-1}, ov_cam2 = pdfRev of z_{t-2}
       ov_lt   = pdfRev of y_{s-1}, ov_lt2  = pdfRev of y_{s-2}
-    rev_lt_origin: stored pdfRev of y_0 as regenerated from y_1
-    cam_pdf0_rev unused for pinhole cameras (z_0 delta)."""
+    rev_lt_origin: stored pdfRev of y_0 as regenerated from y_1.
+
+    Count-weighted balance heuristic (Veach 9.2.4): the light-image family
+    (t'=1) draws npix-times more samples per pixel estimate than the
+    per-pixel families (every light subpath can splat anywhere), so its
+    pdf is weighted by npix in the balance — and a t=1 strategy's
+    competitors are each down-weighted by 1/npix."""
     n = cam.p.shape[0] if t >= 2 else lt.p.shape[0]
     sum_ri = jnp.zeros((n,))
     F = jnp.zeros((n,), bool)
@@ -251,7 +256,8 @@ def _mis_weight(scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
         d_here = cam_delta(i)
         d_prev = cam_delta(i - 1) if i - 1 >= 1 else F  # z_0 pinhole: the
         # t'=1 light-image strategy IS valid (splat), so no delta gate
-        sum_ri = sum_ri + jnp.where(~d_here & ~d_prev, ri, 0.0)
+        scale = npix if i == 1 else 1.0  # t'=1 family sample-count weight
+        sum_ri = sum_ri + jnp.where(~d_here & ~d_prev, ri * scale, 0.0)
 
     def lt_fwd(i):    # pbrt y_i
         return light0.pdf_pos if i == 0 else lt.pdf_fwd[:, i - 1]
@@ -275,6 +281,9 @@ def _mis_weight(scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
         d_light_origin = light0.delta_pos if i == 0 else lt_delta(i - 1)
         sum_ri = sum_ri + jnp.where(~d_here & ~d_light_origin, ri, 0.0)
 
+    if t == 1:
+        # this strategy's own sample count is npix x larger
+        sum_ri = sum_ri / npix
     return 1.0 / (1.0 + sum_ri)
 
 
@@ -286,8 +295,8 @@ def render_bdpt(scene: Scene, cfg: RenderConfig, seed: int = 0,
 
     H, W = cfg.height, cfg.width
     npix = H * W
-    T_MAX = t_max or min(cfg.max_depth, 5)     # camera surface vertices
-    S_MAX = s_max or min(cfg.max_depth, 5)     # light vertices incl y_0
+    T_MAX = t_max or min(cfg.max_depth, 8)     # camera surface vertices
+    S_MAX = s_max or min(cfg.max_depth, 8)     # light vertices incl y_0
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def one_pass(scene, eye_img, splat_img, cfg, seed, pass_idx):
@@ -300,7 +309,9 @@ def render_bdpt(scene: Scene, cfg: RenderConfig, seed: int = 0,
     for i in range(cfg.spp):
         eye, splat = one_pass(scene, eye, splat, cfg, jnp.uint32(seed),
                               jnp.uint32(i))
-    img = eye / cfg.spp + splat / cfg.spp
+    # eye image: spp camera paths per pixel; light image: npix*spp light
+    # subpaths each able to splat anywhere -> divide by the total count
+    img = eye / cfg.spp + splat / (cfg.spp * npix)
     return img.reshape(H, W, 3 * nF)
 
 
@@ -314,6 +325,22 @@ def _transient_slot(cfg, contrib, plen, base):
     oh = jax.nn.one_hot(idx, nF)                       # (n, F)
     return base + (oh[..., None] * contrib[:, None, :]).reshape(
         contrib.shape[0], -1)
+
+
+def _strategy_on(s, t):
+    """Debug filter: BDPT_ONLY='s,t' isolates one strategy (weights
+    forced to 1 via BDPT_NOMIS=1)."""
+    import os
+    only = os.environ.get("BDPT_ONLY")
+    if not only:
+        return True
+    ss, tt = only.split(",")
+    return int(ss) == s and int(tt) == t
+
+
+def _nomis():
+    import os
+    return bool(os.environ.get("BDPT_NOMIS"))
 
 
 def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
@@ -349,7 +376,7 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
     light0, d0, smp = _sample_light_vertex(scene, smp)
     lt, rev_lt_origin, smp = _surface_walk(
         scene, cfg, light0.p + d0 * eps, d0, light0.beta1, light0.pdf_dir,
-        light0.p, light0.ng, smp, S_MAX - 1, eps)
+        light0.p, light0.ng, smp, max(S_MAX - 1, 1), eps)
 
     F = jnp.zeros((n,), bool)
     ones = jnp.ones((n,))
@@ -357,8 +384,10 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
     # ---------------- s = 0: camera path hits an emitter ----------------
     for t in range(2, T_MAX + 2):
         k = t - 2                      # array index of z_{t-1}
-        if k >= T_MAX:
+        if k >= T_MAX or t - 1 > cfg.max_depth:
             break
+        if not _strategy_on(0, t):
+            continue
         e_idx = cam.emitter[:, k]
         ok = cam.valid[:, k] & (e_idx >= 0)
         wo = -cam.d_in[:, k]
@@ -381,9 +410,9 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
         pdf_emit_dir = cos_l / jnp.pi
         ov_cam2 = _to_area(pdf_emit_dir, cam.p[:, k], prev_p, prev_ng) \
             if t >= 3 else ones
-        w = _mis_weight(scene, cam, lt, light0, 0, t,
-                        pdf_light_origin, ov_cam2, ones, ones,
-                        rev_lt_origin, None)
+        w = ones if _nomis() else _mis_weight(
+            scene, cam, lt, light0, 0, t, pdf_light_origin, ov_cam2, ones,
+            ones, rev_lt_origin, npix)
         val = contrib * w[..., None]
         ok = ok & jnp.all(jnp.isfinite(val), -1)
         eye_img = _transient_slot(
@@ -396,7 +425,7 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
         if kc >= T_MAX:
             break
         for s in range(1, S_MAX + 1):
-            if s + t - 1 > cfg.max_depth + 1:
+            if s + t - 1 > cfg.max_depth or not _strategy_on(s, t):
                 continue
             if s == 1:
                 yp, yng = light0.p, light0.ng
@@ -406,9 +435,9 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
                 if kl >= lt.p.shape[1]:
                     continue
                 yp, yng = lt.p[:, kl], lt.ng[:, kl]
-                y_valid = lt.valid[:, kl] & ~lt.spec[:, kl]
+                y_valid = lt.valid[:, kl]
             zp, zng = cam.p[:, kc], cam.ng[:, kc]
-            ok = cam.valid[:, kc] & ~cam.spec[:, kc] & y_valid
+            ok = cam.valid[:, kc] & y_valid
             dvec = yp - zp
             d2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
             dist = jnp.sqrt(d2)
@@ -416,6 +445,10 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
             # camera-side f
             f_c = _bsdf_f_at(scene, cfg, cam, kc, -cam.d_in[:, kc], wconn)
             # light-side f (and Le for s=1)
+            # NOTE bsdf_m.eval returns f * |cos(wo)|, so f_c already carries
+            # the camera-side cosine and f_y (s>=2) the light-side cosine;
+            # the remaining geometric factor is only the 1/d^2 (+ emission
+            # cosine for s=1 area lights, which has no BSDF to carry it)
             if s == 1:
                 cos_y = jnp.maximum(dot(-wconn, light0.ng), 0.0)
                 f_y_over_cos = jnp.where(
@@ -423,17 +456,11 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
                     light0.radiance * jnp.where(cos_y > 0, 1.0, 0.0)[..., None],
                     light0.radiance)  # point: intensity, no cos
                 beta_y = light0.inv_pdf_pos[..., None] * jnp.ones((n, 3))
-                # G term: cos_z * cos_y / d^2 (area lights), cos_z / d^2
-                # for point lights
-                cos_z = jnp.abs(dot(wconn, zng))
-                G = jnp.where(light0.is_area,
-                              cos_z * cos_y / d2, cos_z / d2)
+                G = jnp.where(light0.is_area, cos_y / d2, 1.0 / d2)
             else:
                 f_y_over_cos = _bsdf_f_at(scene, cfg, lt, kl,
                                           -lt.d_in[:, kl], -wconn)
-                # _bsdf_f_at returns f*|cos(-wconn)| already -> fold into G
-                cos_z = jnp.abs(dot(wconn, zng))
-                G = cos_z / d2
+                G = 1.0 / d2
                 beta_y = lt.beta[:, kl]
             contrib = (cam.beta[:, kc] * f_c * beta_y * f_y_over_cos
                        * G[..., None])
@@ -472,13 +499,14 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
                     prev_lp, prev_lng = light0.p, light0.ng
                 else:
                     prev_lp, prev_lng = lt.p[:, kl - 1], lt.ng[:, kl - 1]
-                pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, wconn,
+                pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, -wconn,
                                           -lt.d_in[:, kl]) if s >= 2 else ones
                 ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng)
             else:
                 ov_lt2 = ones
-            w = _mis_weight(scene, cam, lt, light0, s, t, ov_cam, ov_cam2,
-                            ov_lt, ov_lt2, rev_lt_origin, None)
+            w = ones if _nomis() else _mis_weight(
+                scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
+                ov_lt2, rev_lt_origin, npix)
             plen_tot = cam.plen[:, kc] + dist + \
                 (lt.plen[:, kl] if s >= 2 else 0.0)
             val = contrib * w[..., None]
@@ -489,24 +517,43 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
                 cfg, jnp.where(ok[..., None], val, 0.0), plen_tot, eye_img)
 
     # ---------------- t = 1: light image ----------------
-    for s in range(2, S_MAX + 2):
-        kl = s - 2
-        if kl >= lt.p.shape[1]:
+    for s in range(1, S_MAX + 2):
+        if s > cfg.max_depth:
             break
-        yp, yng = lt.p[:, kl], lt.ng[:, kl]
-        ok = lt.valid[:, kl] & ~lt.spec[:, kl]
+        if not _strategy_on(s, 1):
+            continue
+        if s == 1:
+            kl = -1
+            yp, yng = light0.p, light0.ng
+            ok = jnp.ones((n,), bool)
+        else:
+            kl = s - 2
+            if kl >= lt.p.shape[1]:
+                break
+            yp, yng = lt.p[:, kl], lt.ng[:, kl]
+            ok = lt.valid[:, kl]
         to_c = jnp.broadcast_to(cam_p, (n, 3)) - yp
         d2 = jnp.maximum(jnp.sum(to_c * to_c, -1), 1e-12)
         dist = jnp.sqrt(d2)
         d_c = to_c / dist[..., None]
         fs = sensor_m.project(scene.sensor, yp, W, H)
         ok = ok & fs.valid
-        f_y = _bsdf_f_at(scene, cfg, lt, kl, -lt.d_in[:, kl], d_c)
+        if s == 1:
+            # y_0 itself: emitted radiance toward the camera over pdf_pos
+            cos_y0 = jnp.maximum(dot(d_c, light0.ng), 0.0)
+            f_y = jnp.where(
+                light0.is_area[..., None],
+                light0.radiance * cos_y0[..., None], 0.0)
+            beta_y = light0.inv_pdf_pos[..., None] * jnp.ones((n, 3))
+            ok = ok & light0.is_area & (cos_y0 > 0)
+        else:
+            f_y = _bsdf_f_at(scene, cfg, lt, kl, -lt.d_in[:, kl], d_c)
+            beta_y = lt.beta[:, kl]
         blocked = isect.occluded(
             scene.geo, yp + d_c * eps, d_c, jnp.full((n,), eps * 0.5),
             dist - 2 * eps)
         ok = ok & ~blocked
-        val = (lt.beta[:, kl] * f_y
+        val = (beta_y * f_y
                * (fs.inv_pixel_omega / d2)[..., None])
         # junction pdfs: y_{s-1} regenerated from the camera
         pdf_cam_dir2 = fs.inv_pixel_omega
@@ -515,14 +562,22 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
         if s >= 3:
             prev_lp, prev_lng = ((light0.p, light0.ng) if s == 3 else
                                  (lt.p[:, kl - 1], lt.ng[:, kl - 1]))
-            pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, -d_c,
+            pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, d_c,
                                       -lt.d_in[:, kl])
             ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng)
+        elif s == 2:
+            # y_0 regenerated from y_1: the junction at y_{s-1}=y_1 changes
+            # y_1's incoming to the camera direction; its backward pdf onto
+            # y_0 is the BSDF pdf at y_1 from d_c toward y_0
+            pdf_y0 = _bsdf_pdf_at(scene, cfg, lt, 0, d_c,
+                                  normalize(light0.p - lt.p[:, 0]))
+            ov_lt2 = _to_area(pdf_y0, lt.p[:, 0], light0.p, light0.ng)
         else:
             ov_lt2 = ones
-        w = _mis_weight(scene, cam, lt, light0, s, 1, ones, ones,
-                        ov_lt, ov_lt2, rev_lt_origin, None)
-        plen_tot = lt.plen[:, kl] + dist
+        w = ones if _nomis() else _mis_weight(
+            scene, cam, lt, light0, s, 1, ones, ones, ov_lt, ov_lt2,
+            rev_lt_origin, npix)
+        plen_tot = (lt.plen[:, kl] if s >= 2 else 0.0) + dist
         val = val * w[..., None]
         if mod_w is not None:
             val = val * mod_w(plen_tot)[..., None]

@@ -663,9 +663,20 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         )
 
     # ------------------------------------------------------------------
-    def tracking_iter(st: WFState) -> WFState:
-        """One majorant jump per lane: shadow ratio-tracking has priority,
-        otherwise extension Woodcock."""
+    def tracking_iter(st: WFState, K: int = 1, compact: int = 0) -> WFState:
+        if compact > 0:
+            return tracking_compact(st, K, max(256, n // compact))
+        """K majorant jumps per lane in ONE pass: shadow ratio-tracking has
+        priority, otherwise extension Woodcock.
+
+        Key structural fact: Woodcock / ratio-tracking jump POSITIONS are
+        independent of the density values (t_{k+1} = t_k - log(u)/majorant
+        regardless of collision outcomes), so the K density taps can all be
+        gathered up-front and the K accept/terminate decisions resolved as
+        register-level where-chains — the per-pass overhead (state r/w,
+        kernel dispatch, loop cond) amortizes over K taps instead of being
+        paid per tap. Taps past a lane's termination are masked (they were
+        full-width-wasted before anyway)."""
         do_sh = st.sh_active & ~st.sh_need_isect & (st.sh_t < st.sh_seg)
         do_ext = ~do_sh & st.ext_tracking
         any_work = do_sh | do_ext
@@ -677,44 +688,72 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         majorant = jax.lax.stop_gradient(jnp.maximum(
             media.majorant * jnp.max(st_color, axis=-1), 1e-6))
 
-        u1 = _tap_uniform(seed, lane, st.tap_ctr)
-        u2 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(1))
-        tap_ctr = st.tap_ctr + jnp.where(any_work, jnp.uint32(2), jnp.uint32(0))
-
         t_cur = jnp.where(do_sh, st.sh_t, st.ext_t)
-        t_new = t_cur - jnp.log1p(-u1) / majorant
         o_cur = jnp.where(do_sh[..., None], st.sh_o, st.o)
         d_cur = jnp.where(do_sh[..., None], st.sh_d, st.d)
-        p = o_cur + t_new[..., None] * d_cur
-        dens = bricks.lookup(p) * scale
+        t_lim = jnp.where(do_sh, st.sh_seg, st.t_far)
 
-        # --- extension: Woodcock collision test (mean channel) ---
-        t_lim = st.t_far
-        escaped = t_new >= t_lim
-        p_real = dens * st_mean / majorant
-        real = u2 < p_real
-        hit_new = do_ext & ~escaped & real
-        null_col = do_ext & ~escaped & ~real
+        # --- precompute the K jump positions + their densities ---
+        ts = []
+        t_k = t_cur
+        for k in range(K):
+            u1 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(2 * k))
+            t_k = t_k - jnp.log1p(-u1) / majorant
+            ts.append(t_k)
+        if K == 1:
+            dens_all = bricks.lookup(o_cur + ts[0][..., None] * d_cur)[None]
+        else:
+            # ONE (K*n)-row gather instead of K kernels
+            p_all = (o_cur[None, :, :]
+                     + jnp.stack(ts)[:, :, None] * d_cur[None, :, :])
+            dens_all = bricks.lookup(p_all.reshape(K * n, 3)).reshape(K, n)
+        dens_k = [dens_all[k] * scale for k in range(K)]
+
+        # --- resolve K decisions sequentially (registers only) ---
+        ext_w = st.ext_w
+        sh_tr = st.sh_tr
+        ext_t = st.ext_t
+        sh_t = st.sh_t
+        ext_live = do_ext          # still jumping this pass
+        sh_live = do_sh
+        resolved_hit = jnp.zeros((n,), bool)
+        taps_used = jnp.zeros((n,), jnp.uint32)
         w_real = ss / jnp.maximum(st_mean, 1e-12)[..., None]
-        w_null = (1.0 - dens[..., None] * st_color / majorant[..., None]) / (
-            jnp.maximum(1.0 - p_real, 1e-12)[..., None])
-        ext_w = jnp.where(hit_new[..., None], st.ext_w * w_real, st.ext_w)
-        ext_w = jnp.where(null_col[..., None], st.ext_w * w_null, ext_w)
-        ext_t = jnp.where(do_ext, jnp.minimum(t_new, t_lim), st.ext_t)
-        ext_resolved = do_ext & (hit_new | escaped)
+        for k in range(K):
+            t_new = ts[k]
+            dens = dens_k[k]
+            active_k = ext_live | sh_live
+            taps_used = taps_used + active_k.astype(jnp.uint32)
+            # extension Woodcock
+            escaped = t_new >= t_lim
+            p_real = dens * st_mean / majorant
+            u2 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(2 * k + 1))
+            real = u2 < p_real
+            hit_k = ext_live & ~escaped & real
+            null_k = ext_live & ~escaped & ~real
+            factor = 1.0 - dens[..., None] * st_color / majorant[..., None]
+            w_null = factor / jnp.maximum(1.0 - p_real, 1e-12)[..., None]
+            ext_w = jnp.where(hit_k[..., None], ext_w * w_real, ext_w)
+            ext_w = jnp.where(null_k[..., None], ext_w * w_null, ext_w)
+            ext_t = jnp.where(ext_live, jnp.minimum(t_new, t_lim), ext_t)
+            resolved_hit = resolved_hit | hit_k
+            ext_live = ext_live & ~escaped & ~real
+            # shadow ratio tracking
+            sh_esc = t_new >= t_lim
+            upd = sh_live & ~sh_esc
+            sh_tr = jnp.where(upd[..., None], sh_tr * factor, sh_tr)
+            sh_t = jnp.where(sh_live,
+                             jnp.where(sh_esc, t_lim, t_new), sh_t)
+            sh_live = sh_live & ~sh_esc
+
+        tap_ctr = st.tap_ctr + jnp.uint32(2 * K) * any_work.astype(jnp.uint32)
+        ext_resolved = do_ext & ~ext_live
         ext_tracking = st.ext_tracking & ~ext_resolved
         ext_done = st.ext_done | ext_resolved
-        ext_scat = jnp.where(ext_resolved, hit_new, st.ext_scat)
+        ext_scat = jnp.where(ext_resolved, resolved_hit, st.ext_scat)
 
-        # --- shadow: ratio tracking ---
-        sh_escaped = t_new >= st.sh_seg
-        factor = 1.0 - dens[..., None] * st_color / majorant[..., None]
-        upd = do_sh & ~sh_escaped
-        sh_tr = jnp.where(upd[..., None], st.sh_tr * factor, st.sh_tr)
-        sh_t = jnp.where(do_sh, jnp.where(sh_escaped, st.sh_seg, t_new), st.sh_t)
-
-        n_taps = st.n_taps + jnp.sum(any_work).astype(jnp.uint32)
-        # remaining work AFTER this jump (scalar for the loop cond)
+        n_taps = st.n_taps + jnp.sum(taps_used)
+        # remaining work AFTER this pass (scalar for the loop cond)
         track_work = jnp.any(
             (st.sh_active & ~st.sh_need_isect & (sh_t < st.sh_seg))
             | ext_tracking)
@@ -724,6 +763,146 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             ext_t=ext_t, ext_w=ext_w, sh_tr=jnp.maximum(sh_tr, 0.0),
             sh_t=sh_t, tap_ctr=tap_ctr, n_taps=n_taps,
             track_work=track_work,
+        )
+
+    # ------------------------------------------------------------------
+    def tracking_compact(st: WFState, K: int, W: int) -> WFState:
+        """Compacted K-jump tracking pass: only ~occupancy-many lanes issue
+        density lookups.
+
+        The full-width engine wastes ~85% of its lookup cost on idle lanes
+        (measured 2.99 useful taps/sample vs K slots/lane/pass; the fused
+        lookup is the engine's atom at ~6.8 ns/slot). Compaction here is
+        sort-based — lax.sort_key_val of 262k keys measures 0.12 ms on v5e,
+        ~30x cheaper than scatter-built permutation lists:
+          1. sort (need ? lane : BIG) -> the first W sorted values are the
+             active lanes, in lane order;
+          2. ONE packed-row gather pulls their tracking state;
+          3. K jumps run at width W (lookup cost scales with W, not n);
+          4. lanes gather their outcome row back via their cumsum rank
+             (gather-back, not scatter-back: TPU scatter is 5-10x slower).
+        Overflow lanes (rank >= W) keep their flags and are served next
+        block."""
+        need_sh = st.sh_active & ~st.sh_need_isect & (st.sh_t < st.sh_seg)
+        need = need_sh | st.ext_tracking
+        do_sh = need_sh
+        # per-lane tracking inputs (cheap full-width prep)
+        med = jnp.where(do_sh, st.sh_med, st.medium)
+        kind, sa, ss, _, scale = _medium_params(scene, med)
+        st_color = sa + ss
+        st_mean = jnp.mean(st_color, axis=-1)
+        majorant = jax.lax.stop_gradient(jnp.maximum(
+            media.majorant * jnp.max(st_color, axis=-1), 1e-6))
+        t_cur = jnp.where(do_sh, st.sh_t, st.ext_t)
+        o_cur = jnp.where(do_sh[..., None], st.sh_o, st.o)
+        d_cur = jnp.where(do_sh[..., None], st.sh_d, st.d)
+        t_lim = jnp.where(do_sh, st.sh_seg, st.t_far)
+
+        # --- pack per-lane state into one row table (n, 16) ---
+        lanes = jnp.arange(n, dtype=jnp.int32)
+        packed = jnp.concatenate([
+            o_cur, d_cur, t_cur[:, None], t_lim[:, None],
+            majorant[:, None], st_color, st_mean[:, None],
+            ss, scale[:, None],
+        ], axis=-1)                                   # (n, 17)
+
+        # --- sort-based compaction ---
+        key = jnp.where(need, lanes, jnp.int32(2 ** 30))
+        _, src = jax.lax.sort_key_val(key, lanes)
+        src_w = src[:W]
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        in_win = need & (rank < W)
+
+        rows = jnp.take(packed, src_w, axis=0)        # (W, 16)
+        s_valid = jnp.take(need, src_w, axis=0)
+        o_g = rows[:, 0:3]
+        d_g = rows[:, 3:6]
+        t_g = rows[:, 6]
+        lim_g = rows[:, 7]
+        maj_g = jnp.maximum(rows[:, 8], 1e-6)
+        stc_g = rows[:, 9:12]
+        stm_g = rows[:, 12]
+        ss_g = rows[:, 13:16]
+        scale_g = rows[:, 16]
+        sh_g = jnp.take(do_sh, src_w, axis=0) & s_valid
+        lane_g = src_w.astype(jnp.uint32)
+        ctr_g = jnp.take(st.tap_ctr, src_w, axis=0)
+
+        # --- K jumps at width W ---
+        ts = []
+        t_k = t_g
+        for k in range(K):
+            u1 = _tap_uniform(seed, lane_g, ctr_g + jnp.uint32(2 * k))
+            t_k = t_k - jnp.log1p(-u1) / maj_g
+            ts.append(t_k)
+        p_all = (o_g[None, :, :] + jnp.stack(ts)[:, :, None] * d_g[None, :, :])
+        dens_all = bricks.lookup(p_all.reshape(K * W, 3)).reshape(K, W)
+
+        fac = jnp.ones((W, 3), jnp.float32)
+        live = s_valid
+        hit = jnp.zeros((W,), bool)
+        t_out = t_g
+        taps_g = jnp.zeros((W,), jnp.uint32)
+        w_real = ss_g / jnp.maximum(stm_g, 1e-12)[..., None]
+        for k in range(K):
+            t_new = ts[k]
+            dens = dens_all[k] * scale_g
+            taps_g = taps_g + live.astype(jnp.uint32)
+            esc = t_new >= lim_g
+            p_real = dens * stm_g / maj_g
+            u2 = _tap_uniform(seed, lane_g, ctr_g + jnp.uint32(2 * k + 1))
+            real = u2 < p_real
+            factor = 1.0 - dens[..., None] * stc_g / maj_g[..., None]
+            w_null = factor / jnp.maximum(1.0 - p_real, 1e-12)[..., None]
+            hit_k = live & ~sh_g & ~esc & real
+            null_k = live & ~sh_g & ~esc & ~real
+            fac = jnp.where(hit_k[..., None], fac * w_real, fac)
+            fac = jnp.where(null_k[..., None], fac * w_null, fac)
+            upd = live & sh_g & ~esc
+            fac = jnp.where(upd[..., None], fac * factor, fac)
+            t_out = jnp.where(live, jnp.minimum(t_new, lim_g), t_out)
+            hit = hit | hit_k
+            live = live & ~esc & ~(real & ~sh_g)
+
+        resolved_g = s_valid & ~live
+        out_rows = jnp.concatenate([
+            t_out[:, None], fac,
+            hit[:, None].astype(jnp.float32),
+            resolved_g[:, None].astype(jnp.float32),
+            taps_g[:, None].astype(jnp.float32),
+            jnp.zeros((W, 1), jnp.float32),
+        ], axis=-1)                                   # (W, 8)
+
+        # --- gather outcomes back to lanes via their rank ---
+        lane_slot = jnp.clip(jnp.where(in_win, rank, 0), 0, W - 1)
+        mine = jnp.take(out_rows, lane_slot, axis=0)  # (n, 8)
+        processed = in_win
+        t_b = mine[:, 0]
+        fac_b = mine[:, 1:4]
+        hit_b = mine[:, 4] > 0.5
+        res_b = (mine[:, 5] > 0.5) & processed
+        taps_b = mine[:, 6].astype(jnp.uint32)
+
+        p_ext = processed & ~do_sh
+        p_sh = processed & do_sh
+        ext_w = jnp.where(p_ext[..., None], st.ext_w * fac_b, st.ext_w)
+        ext_t = jnp.where(p_ext, t_b, st.ext_t)
+        ext_resolved = p_ext & res_b
+        ext_tracking = st.ext_tracking & ~ext_resolved
+        ext_done = st.ext_done | ext_resolved
+        ext_scat = jnp.where(ext_resolved, hit_b, st.ext_scat)
+        sh_tr = jnp.where(p_sh[..., None],
+                          jnp.maximum(st.sh_tr * fac_b, 0.0), st.sh_tr)
+        sh_t = jnp.where(p_sh, t_b, st.sh_t)
+        tap_ctr = st.tap_ctr + jnp.uint32(2 * K) * processed.astype(jnp.uint32)
+        n_taps = st.n_taps + jnp.sum(jnp.where(processed, taps_b, 0))
+        track_work = jnp.any(
+            (st.sh_active & ~st.sh_need_isect & (sh_t < st.sh_seg))
+            | ext_tracking)
+        return st._replace(
+            ext_tracking=ext_tracking, ext_done=ext_done, ext_scat=ext_scat,
+            ext_t=ext_t, ext_w=ext_w, sh_tr=sh_tr, sh_t=sh_t,
+            tap_ctr=tap_ctr, n_taps=n_taps, track_work=track_work,
         )
 
     # ------------------------------------------------------------------
@@ -763,18 +942,12 @@ def render_wavefront(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     act = cfg.bsdf_kinds or None
 
     def track_block(s: WFState) -> WFState:
-        # early-exit: once every lane's tracking work is resolved, the
-        # remaining iterations would be full-width no-op gathers. The cond
-        # reads the scalar `track_work` flag the passes maintain — no
-        # per-iteration lane-array reduction.
-        def tcond(c):
-            i, x = c
-            return (i < T_TRACK) & x.track_work
-
-        _, s = jax.lax.while_loop(
-            tcond, lambda c: (c[0] + 1, tracking_iter(c[1])),
-            (jnp.int32(0), s))
-        return s
+        # one batched tracking pass (compacted when cfg.wf_track_compact>0);
+        # skipped entirely (scalar cond) when no lane has tracking work
+        return jax.lax.cond(
+            s.track_work,
+            lambda x: tracking_iter(x, K=T_TRACK, compact=cfg.wf_track_compact),
+            lambda x: x, s)
 
     def super_iter(s: WFState) -> WFState:
         # pass pattern: E [M T]*k (k = wf_mini_passes) or E T when k = 0.
@@ -790,12 +963,5 @@ def render_wavefront(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                 s = track_block(s)
         return s
 
-    def unrolled(s: WFState) -> WFState:
-        # two super-iterations per while body: halves outer-cond evaluations
-        # and widens XLA's scheduling window; worst case one redundant
-        # (fully-masked) super-iteration at the very end of the pass
-        s = super_iter(s)
-        return super_iter(s)
-
-    st = jax.lax.while_loop(cond, unrolled, st)
+    st = jax.lax.while_loop(cond, super_iter, st)
     return finalize(st)

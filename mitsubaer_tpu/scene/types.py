@@ -302,10 +302,14 @@ class RenderConfig(NamedTuple):
     #   path/volpath renders with a box filter)
     wf_track_iters: int = 4      # wavefront engine: heterogeneous tracking
     #   iterations per event pass (tune to the scene's taps-per-bounce)
-    wf_mini_passes: int = 2      # wavefront engine: cheap transition passes
+    wf_track_compact: int = 0    # wavefront engine: compact tracking to
+    #   n/wf_track_compact lookup slots per block (0 = full-width); pays a
+    #   ~2 ms pack/unpack to skip the ~85% idle-lane density lookups
+    wf_mini_passes: int = 1      # wavefront engine: cheap transition passes
     #   per super-iteration (null crossings / env escapes / flush+regen
     #   resolve without paying for NEE setup + direction sampling); 0
-    #   restores the round-2 E+T pattern
+    #   restores the round-2 E+T pattern. Best measured on the bench scene:
+    #   1 mini + 3-6 batched tracking jumps
     bsdf_kinds: tuple = ()       # static set of BSDF kinds in the scene;
     #   jit compiles only these lobes (() = all, models/bsdf.py _on)
     has_textures: bool = False   # static: any BSDF carries a texture

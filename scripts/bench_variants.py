@@ -14,6 +14,7 @@ from mitsubaer_tpu.integrators.render import render_pass_wavefront
 from mitsubaer_tpu.scene import presets
 
 VARIANTS = eval(sys.argv[1]) if len(sys.argv) > 1 else [(0, 3), (2, 3)]
+# entries: (mini, T) or (mini, T, compact_denom)
 
 res, sppc, md = 512, 32, 12
 scene, cfg0 = presets.volumetric_box(res=res, spp=sppc, heterogeneous=True,
@@ -22,8 +23,11 @@ cfg0 = cfg0._replace(filter="box", engine="wavefront")
 scene = jax.device_put(scene)
 npix = res * res
 
-for (mp, ti) in VARIANTS:
-    cfg = cfg0._replace(wf_mini_passes=mp, wf_track_iters=ti)
+for var in VARIANTS:
+    mp, ti = var[0], var[1]
+    tc = var[2] if len(var) > 2 else 0
+    cfg = cfg0._replace(wf_mini_passes=mp, wf_track_iters=ti,
+                        wf_track_compact=tc)
     L = jnp.zeros((npix, 3), jnp.float32)
     L1, stats = render_pass_wavefront(scene, L, cfg, sppc, jnp.uint32(0),
                                       jnp.uint32(0), has_direct=False,
@@ -37,7 +41,7 @@ for (mp, ti) in VARIANTS:
     mean = float(L2.mean())
     dt = time.perf_counter() - t0
     samples = npix * sppc
-    print(f"mini={mp} T={ti}: pass {dt:.3f}s  full_iters {iters} "
+    print(f"mini={mp} T={ti} C={tc}: pass {dt:.3f}s  full_iters {iters} "
           f"unfin {unfinished}  segs/spl {segs/samples:.2f} "
           f"taps/spl {taps/samples:.2f}  Mrays/s {segs/dt/1e6:.2f}  "
           f"Msam/s {samples/dt/1e6:.2f}  mean {mean:.4f}", flush=True)

@@ -56,12 +56,21 @@ def make_runner(kind, cfg):
             body = lambda i, s: event_pass(s, mini=True)
         elif kind == "track":
             body = lambda i, s: tracking_iter(s)
+        elif kind == "track6":
+            body = lambda i, s: tracking_iter(s, K=6)
+        elif kind == "trackc6":
+            body = lambda i, s: tracking_iter(s, K=6, compact=4)
+        elif kind == "trackc6w3":
+            body = lambda i, s: tracking_iter(s, K=6, compact=3)
+        elif kind == "trackc6w2":
+            body = lambda i, s: tracking_iter(s, K=6, compact=2)
         st = jax.lax.fori_loop(0, k, body, st)
         return st.L.sum() + st.n_taps.astype(jnp.float32)
     return lambda k, seed: run(k, seed)
 
 cfg = cfg0
-for kind in ("event", "mini", "track"):
+import os
+for kind in os.environ.get("KINDS", "event,mini,track").split(","):
     r = make_runner(kind, cfg)
     dt = time_k(r, 4, 24)
     print(f"{kind:8s} {dt*1e3:6.2f} ms/pass", flush=True)
