@@ -30,6 +30,9 @@ from ..scene import intersect as isect
 from ..scene.types import (
     EM_AREA,
     EM_COLLIMATED,
+    EM_CONSTANT,
+    EM_DIRECTIONAL,
+    EM_ENVMAP,
     EM_POINT,
     EM_SPOT,
     MED_HETEROGENEOUS,

@@ -370,7 +370,12 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf,
                              refl_scale=rscale, active=act)
         pact = cfg.phase_kinds or None
-        f_med = phase_m.eval(media.phase, s.medium, s.d, ds.d, active=pact)[..., None]
+        # per-voxel orientation field (heterogeneous.cpp:164): local axis
+        # for microflake/kkay lobes at the scatter vertex
+        ax_ov = medium_m.orientation_axis(media, s.medium, m_p) \
+            if cfg.phase_orient else None
+        f_med = phase_m.eval(media.phase, s.medium, s.d, ds.d, active=pact,
+                             axis_override=ax_ov)[..., None]
         pdf_med = f_med[..., 0]
         f_vtx = jnp.where(scattered[..., None], f_med, f_srf)
         pdf_vtx = jnp.where(scattered, pdf_med, pdf_srf)
@@ -471,7 +476,8 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         u1p, smp = rng.next_1d(smp)
 
         # medium: phase sampling
-        ps = phase_m.sample(media.phase, s.medium, s.d, u2p, active=pact)
+        ps = phase_m.sample(media.phase, s.medium, s.d, u2p, active=pact,
+                            axis_override=ax_ov)
         # surface: bsdf sampling
         bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u2p, u1p,
                            refl_scale=rscale, active=act)

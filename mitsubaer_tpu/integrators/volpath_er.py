@@ -430,3 +430,178 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
     else:
         final = jax.lax.while_loop(cond, body, state)
     return final.sink, final.sampler
+
+
+# ---------------------------------------------------------------------------
+# Sensor-side curved connections: the light image through the refractive body
+# (makeSensorDirectConnections, heterogeneousrefractive.cpp:960-992 +
+# edge.cpp:535-543). Light particles enter the medium, scatter along curved
+# paths, and every in-medium vertex solves the BVP TO THE CAMERA — the
+# integrator's sensitivity machinery already handles the single boundary
+# refraction + straight extrapolation to the closest point of approach
+# (integrate_with_sensitivities, eikonal.py), so the same solve_bvp serves
+# camera-side and sensor-side connections.
+# ---------------------------------------------------------------------------
+def trace_er_particles(scene: Scene, cfg: RenderConfig, n_particles: int,
+                       seed, pass_idx):
+    """One wavefront of light particles through the refractive medium;
+    returns the (H*W, 3) splat sum (divide by total particles for the
+    light-image estimate)."""
+    from ..models import sensor as sensor_m
+    from ..models import medium as medium_m
+    from ..integrators import ptracer as ptracer_m
+
+    H, W = cfg.height, cfg.width
+    n = n_particles
+    eps = common.scene_epsilon(scene)
+    rif = ek.rif_from_media(scene.media)
+    sdf = ek.sdf_from_media(scene.media)
+    _, sigma_a, sigma_s, samp_w, med_idx = _refractive_params(scene)
+    sigma_t = sigma_a + sigma_s
+    h = cfg.er_stepsize
+    max_march = cfg.er_maxsteps
+    cam_p = scene.sensor.to_world[:3, 3]
+    media = scene.media
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    smp = rng.make_sampler(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xE51),
+                           lane, pass_idx)
+    o, d, tp, _med, _ne, _ia, smp = ptracer_m._sample_emitter_ray(scene, smp)
+    film = jnp.zeros((H * W, 3), jnp.float32)
+
+    inside = jnp.zeros((n,), bool)
+    v = d
+    active = jnp.any(tp > 0, axis=-1)
+    max_iters = 2 * cfg.max_depth + 6
+
+    def body(carry, _):
+        o, v, tp, inside, active, film, smp = carry
+
+        # ---- outside: straight flight to the refractive boundary ----
+        d_out = normalize(v)
+        hit = isect.intersect(scene.geo, o, d_out, jnp.full((n,), eps),
+                              jnp.full((n,), isect.INF))
+        ns_ = scene.shapes.bsdf.shape[0]
+        sid = jnp.clip(hit.shape_id, 0, ns_ - 1)
+        ok_s = hit.shape_id >= 0
+        m_in = jnp.where(ok_s, smalltab.take(scene.shapes.interior, sid), -1)
+        is_ref_b = ok_s & (m_in == med_idx)
+        out_act = active & ~inside
+        entering = out_act & hit.valid & is_ref_b
+        dead_out = out_act & ~entering   # missed the body: particle done
+
+        n_at = ek.rif_value(rif, hit.p)
+        cos_i = dot(-d_out, hit.ng)
+        F, _c = fresnel_dielectric(cos_i, n_at)
+        u_f, smp = rng.next_1d(smp)
+        refl = u_f < F
+        N_in = jnp.where(cos_i[..., None] > 0, hit.ng, -hit.ng)
+        v_refr, _tir = ek.boundary_velocity(d_out, N_in, jnp.ones((n,)), n_at)
+
+        # ---- inside: curved free flight ----
+        in_act = active & inside
+        u_d, smp = rng.next_1d(smp)
+        from ..models.medium import sample_distance_homogeneous
+        t_big = jnp.full((n,), 1e7)
+        uc_d, smp = rng.next_1d(smp)
+        hs_, t_samp, _, _ = sample_distance_homogeneous(
+            jnp.broadcast_to(sigma_a, (n, 3)),
+            jnp.broadcast_to(sigma_s, (n, 3)),
+            jnp.broadcast_to(samp_w, (n,)), t_big, u_d, uc_d)
+        march = jnp.where(hs_, t_samp, 1e6)
+        p_m, v_m, opt_m, geo_m, exited_m, _ = ek.trace_curved(
+            rif, sdf, o, v, march, h, max_march, in_act)
+        scattered = in_act & hs_ & ~exited_m
+        exited = in_act & (exited_m | ~hs_)
+        p_b, v_b, opt_b, adv_b = ek.refine_boundary(rif, sdf, p_m, v_m, h)
+        p_m = jnp.where(exited[..., None], p_b, p_m)
+        v_m = jnp.where(exited[..., None], v_b, v_m)
+        geo_m = jnp.where(exited, geo_m + adv_b, geo_m)
+        tr_seg = jnp.exp(-sigma_t[None, :] * geo_m[..., None])
+        pdf_fail = jnp.mean(tr_seg, axis=-1)
+        pdf_succ = jnp.mean(sigma_t[None, :] * tr_seg, axis=-1)
+        w_sc = sigma_s[None, :] * tr_seg / jnp.maximum(
+            (pdf_succ * samp_w)[..., None], 1e-12)
+        w_ex = tr_seg / jnp.maximum(
+            (samp_w * pdf_fail + (1.0 - samp_w))[..., None], 1e-12)
+        tp_in = tp * jnp.where(scattered[..., None], w_sc,
+                               jnp.where(exited[..., None], w_ex, 1.0))
+
+        # ---- sensor-side curved connection from scatter vertices ----
+        chord = normalize(jnp.broadcast_to(cam_p, (n, 3)) - p_m)
+        seed_bits = rng._hash_u32(lane + smp.index * jnp.uint32(0x9E3779B9))
+        bvp = ek.solve_bvp(
+            rif, sdf, p_m, jnp.broadcast_to(cam_p, (n, 3)), chord, h,
+            max_march, scattered, tol2=cfg.bvp_tol2,
+            rr_weight=cfg.rr_weight, seed_bits=seed_bits,
+            max_restarts=cfg.bvp_restarts)
+        ok_c = scattered & bvp.converged
+        d_in_m = normalize(v_m)
+        ph_val = phase_m.eval(media.phase, jnp.broadcast_to(med_idx, (n,)),
+                              d_in_m, bvp.dir_to_target)
+        tr_conn = jnp.exp(-sigma_t[None, :] * bvp.geo_inside[..., None])
+        # radiance compression entering->exiting + boundary Fresnel pass
+        n_here = ek.rif_value(rif, p_m)
+        ref_ratio = (1.0 / jnp.maximum(n_here, 1e-6)) ** 2
+        # arrival direction at the camera: -rev_dir points p->cam along the
+        # final straight segment; pick the pixel looking back along it
+        d_arr = -bvp.rev_dir
+        fs = sensor_m.project(scene.sensor,
+                              jnp.broadcast_to(cam_p, (n, 3)) - d_arr, W, H)
+        ok_c = ok_c & fs.valid
+        val = (tp_in * ph_val[..., None] * tr_conn
+               * (ref_ratio * bvp.weight
+                  * fs.inv_pixel_omega
+                  / jnp.maximum(bvp.geo_total ** 2, 1e-9))[..., None])
+        val = jnp.where((ok_c & jnp.all(jnp.isfinite(val), -1))[..., None],
+                        val, 0.0)
+        px = jnp.clip(fs.px.astype(jnp.int32), 0, W - 1)
+        py = jnp.clip(fs.py.astype(jnp.int32), 0, H - 1)
+        film = film.at[py * W + px].add(val)
+
+        # ---- phase sampling to continue in-medium walk ----
+        u2p, smp = rng.next_2d(smp)
+        ps = phase_m.sample(media.phase, jnp.broadcast_to(med_idx, (n,)),
+                            d_in_m, u2p)
+        n_end = ek.rif_value(rif, p_m)
+        v_scat = ps.wo * n_end[..., None]
+
+        # ---- state merge ----
+        new_o = jnp.where(entering[..., None] & ~refl[..., None],
+                          hit.p - hit.ng * (eps * 0.5)
+                          + normalize(v_refr) * eps, o)
+        new_v = jnp.where(entering[..., None] & ~refl[..., None], v_refr, v)
+        new_inside = jnp.where(entering & ~refl, True, inside)
+        new_o = jnp.where(scattered[..., None], p_m, new_o)
+        new_v = jnp.where(scattered[..., None], v_scat, new_v)
+        tp2 = jnp.where(in_act[..., None], tp_in, tp)
+        # exiting particles terminate (their outside continuation carries
+        # negligible light-image mass and is served by the plain ptracer)
+        new_active = active & ~dead_out & ~exited & ~(entering & refl)
+        finite = jnp.all(jnp.isfinite(new_o), -1) & \
+            jnp.all(jnp.isfinite(new_v), -1) & jnp.all(jnp.isfinite(tp2), -1)
+        new_active = new_active & finite
+        return (jnp.nan_to_num(new_o), jnp.nan_to_num(new_v, nan=1.0),
+                jnp.nan_to_num(tp2), new_inside, new_active, film, smp), None
+
+    carry = (o, v, tp, inside, active, film, smp)
+    carry, _ = jax.lax.scan(body, carry, None, length=max_iters)
+    return carry[5]
+
+
+def render_er_light_image(scene: Scene, cfg: RenderConfig, seed: int = 0,
+                          n_passes: int = 2):
+    """Light image (t=1 family) through the refractive medium."""
+    import functools
+
+    H, W = cfg.height, cfg.width
+    n_per = H * W
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "np_"))
+    def one(scene, film, cfg, np_, seed, pidx):
+        return film + trace_er_particles(scene, cfg, np_, seed, pidx)
+
+    film = jnp.zeros((H * W, 3), jnp.float32)
+    for i in range(n_passes):
+        film = one(scene, film, cfg, n_per, jnp.uint32(seed), jnp.uint32(i))
+    return (film / (n_passes * n_per)).reshape(H, W, 3)

@@ -327,7 +327,10 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             wo_srf = frame.to_local(ds.d)
             f_srf = bsdf_m.eval(scene.bsdfs, b_idx, wi_srf, wo_srf, active=act)
             pdf_srf = bsdf_m.pdf(scene.bsdfs, b_idx, wi_srf, wo_srf, active=act)
-            f_med = phase_m.eval(media.phase, st.medium, st.d, ds.d, active=pact)[..., None]
+            ax_ov = medium_m.orientation_axis(media, st.medium, m_p) \
+                if cfg.phase_orient else None
+            f_med = phase_m.eval(media.phase, st.medium, st.d, ds.d,
+                                 active=pact, axis_override=ax_ov)[..., None]
             pdf_med = f_med[..., 0]
             f_vtx = jnp.where(scattered[..., None], f_med, f_srf)
             pdf_vtx = jnp.where(scattered, pdf_med, pdf_srf)
@@ -411,8 +414,10 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                                        delta=b0, eta=f0 + 1.0,
                                        null_passthrough=b0)
             else:
+                ax_ov2 = medium_m.orientation_axis(media, st.medium, m_p) \
+                    if cfg.phase_orient else None
                 ps = phase_m.sample(media.phase, st.medium, st.d, u_dir2,
-                                    active=pact)
+                                    active=pact, axis_override=ax_ov2)
                 bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_srf, u_dir2, u_dir1,
                                    active=act)
             wo_world = frame.to_world(bs.wo)

@@ -38,6 +38,7 @@ from ..scene.types import (
     BSDF_HDIELECTRIC,
     BSDF_HROUGHDIELECTRIC,
     BSDF_MIRROR,
+    BSDF_MIXTURE,
     BSDF_NULL,
     BSDF_PHONG,
     BSDF_PLASTIC,
@@ -45,9 +46,37 @@ from ..scene.types import (
     BSDF_ROUGHDIELECTRIC,
     BSDF_ROUGHPLASTIC,
     BSDF_THINDIELECTRIC,
+    BSDF_TWOSIDED,
     BSDF_WARD,
     BSDFs,
 )
+
+_FLIP_Z = jnp.array([1.0, 1.0, -1.0])
+
+
+def _wrapper_resolve(bs: BSDFs, idx, wi, active=None):
+    """Resolve twosided/mixture WRAPPER rows (twosided.cpp, mixturebsdf.cpp)
+    to effective base rows + a possibly-mirrored frame.
+
+    Returns (idx_a, idx_b, w_a, wi2, flip): for non-mixture lanes idx_b
+    equals idx_a and w_a is 1. One wrapper level only (builder-enforced)."""
+    if not _on(active, BSDF_TWOSIDED, BSDF_MIXTURE):
+        return idx, idx, jnp.ones(idx.shape, jnp.float32), wi, \
+            jnp.zeros(idx.shape, bool)
+    i = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
+    kind = jnp.where(idx >= 0, smalltab.take(bs.kind, i), BSDF_NULL)
+    is_ts = kind == BSDF_TWOSIDED
+    is_mix = kind == BSDF_MIXTURE
+    c0 = smalltab.take(bs.child0, i)
+    c1 = smalltab.take(bs.child1, i)
+    w = smalltab.take(bs.mix_w, i)
+    idx_a = jnp.where(is_ts | is_mix, c0, idx)
+    idx_b = jnp.where(is_mix, c1, idx_a)
+    w_a = jnp.where(is_mix, w, 1.0)
+    # twosided: mirror the local frame for back-face shading
+    flip = is_ts & (cos_theta(wi) < 0)
+    wi2 = jnp.where(flip[..., None], wi * _FLIP_Z, wi)
+    return idx_a, idx_b, w_a, wi2, flip
 
 
 class BSDFSample(NamedTuple):
@@ -151,8 +180,8 @@ def _on(active, *ks):
     return active is None or any(k in active for k in ks)
 
 
-def eval(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
-         active=None):
+def _eval_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
+               active=None):
     kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
         bs, idx, refl_scale)
     if eta_override is not None:
@@ -245,8 +274,8 @@ def eval(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
     return out * opacity[..., None]
 
 
-def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
-        active=None):
+def _pdf_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
+              active=None):
     kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
         bs, idx, refl_scale)
     if eta_override is not None:
@@ -329,8 +358,8 @@ def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
 # --------------------------------------------------------------------------
 # sample
 # --------------------------------------------------------------------------
-def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
-           refl_scale=None, active=None, u_op=None) -> BSDFSample:
+def _sample_base(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
+                 refl_scale=None, active=None, u_op=None) -> BSDFSample:
     """Sample all lobes branchlessly and select by kind.
 
     u2: (N, 2) for direction, u1: (N,) for lobe selection, u_op: optional
@@ -450,8 +479,8 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
 
         wo_ph_spec = Frame.from_normal(wr).to_world(lobe_local)
         wo_phong = jnp.where(phong_spec[..., None], wo_ph_spec, wo_diff)
-        f_ph = eval(bs, idx, wi, wo_phong, refl_scale=refl_scale, active=active)
-        p_ph = pdf(bs, idx, wi, wo_phong, refl_scale=refl_scale, active=active)
+        f_ph = _eval_base(bs, idx, wi, wo_phong, refl_scale=refl_scale, active=active)
+        p_ph = _pdf_base(bs, idx, wi, wo_phong, refl_scale=refl_scale, active=active)
         w_phong = f_ph / jnp.maximum(p_ph, 1e-12)[..., None]
         wo_d[BSDF_PHONG] = wo_phong
         w_d[BSDF_PHONG] = w_phong
@@ -482,8 +511,8 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
         h_ward = jnp.where((ci < 0)[..., None], -h_ward, h_ward)
         wo_ward_s = 2.0 * dot(wi, h_ward, keepdims=True) * h_ward - wi
         wo_ward = jnp.where(ward_spec[..., None], wo_ward_s, wo_diff)
-        f_w = eval(bs, idx, wi, wo_ward, refl_scale=refl_scale, active=active)
-        p_w = pdf(bs, idx, wi, wo_ward, refl_scale=refl_scale, active=active)
+        f_w = _eval_base(bs, idx, wi, wo_ward, refl_scale=refl_scale, active=active)
+        p_w = _pdf_base(bs, idx, wi, wo_ward, refl_scale=refl_scale, active=active)
         w_ward = f_w / jnp.maximum(p_w, 1e-12)[..., None]
         wo_d[BSDF_WARD] = wo_ward
         w_d[BSDF_WARD] = w_ward
@@ -493,8 +522,8 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
         # rough plastic: GGX specular w.p. F(ci), else cosine diffuse
         rp_spec = u1 < F
         wo_rp = jnp.where(rp_spec[..., None], wo_rough, wo_diff)
-        f_rp = eval(bs, idx, wi, wo_rp, refl_scale=refl_scale, active=active)
-        p_rp = pdf(bs, idx, wi, wo_rp, refl_scale=refl_scale, active=active)
+        f_rp = _eval_base(bs, idx, wi, wo_rp, refl_scale=refl_scale, active=active)
+        p_rp = _pdf_base(bs, idx, wi, wo_rp, refl_scale=refl_scale, active=active)
         w_rp = f_rp / jnp.maximum(p_rp, 1e-12)[..., None]
         wo_d[BSDF_ROUGHPLASTIC] = wo_rp
         w_d[BSDF_ROUGHPLASTIC] = w_rp
@@ -592,3 +621,72 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
         wo=wo, weight=weight, pdf=pdf_out, delta=delta, eta=eta_out,
         null_passthrough=null_pass,
     )
+
+
+# --------------------------------------------------------------------------
+# Public API: base lobes + one level of wrapper kinds
+# (twosided.cpp, mixturebsdf.cpp/blendbsdf.cpp)
+# --------------------------------------------------------------------------
+def eval(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
+         active=None):
+    idx_a, idx_b, w_a, wi2, flip = _wrapper_resolve(bs, idx, wi, active)
+    wo2 = jnp.where(flip[..., None], wo * _FLIP_Z, wo)
+    f = _eval_base(bs, idx_a, wi2, wo2, eta_override, refl_scale, active)
+    if _on(active, BSDF_MIXTURE):
+        f_b = _eval_base(bs, idx_b, wi2, wo2, eta_override, refl_scale,
+                         active)
+        f = w_a[..., None] * f + (1.0 - w_a)[..., None] * f_b
+    return f
+
+
+def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
+        active=None):
+    idx_a, idx_b, w_a, wi2, flip = _wrapper_resolve(bs, idx, wi, active)
+    wo2 = jnp.where(flip[..., None], wo * _FLIP_Z, wo)
+    p = _pdf_base(bs, idx_a, wi2, wo2, eta_override, refl_scale, active)
+    if _on(active, BSDF_MIXTURE):
+        p_b = _pdf_base(bs, idx_b, wi2, wo2, eta_override, refl_scale,
+                        active)
+        p = w_a * p + (1.0 - w_a) * p_b
+    return p
+
+
+def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
+           refl_scale=None, active=None, u_op=None) -> BSDFSample:
+    idx_a, idx_b, w_a, wi2, flip = _wrapper_resolve(bs, idx, wi, active)
+    if _on(active, BSDF_MIXTURE):
+        # one-sample MIS over the two children: pick A w.p. w_a, reuse the
+        # rescaled selection uniform for the child's own lobe choice
+        pick_a = u1 < w_a
+        u1r = jnp.where(pick_a, u1 / jnp.maximum(w_a, 1e-9),
+                        (u1 - w_a) / jnp.maximum(1.0 - w_a, 1e-9))
+        # non-mixture lanes keep their original u1 stream
+        i0 = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
+        is_mix = jnp.where(idx >= 0, smalltab.take(bs.kind, i0),
+                           BSDF_NULL) == BSDF_MIXTURE
+        u1_eff = jnp.where(is_mix, jnp.minimum(u1r, 0.9999994), u1)
+        c_idx = jnp.where(is_mix, jnp.where(pick_a, idx_a, idx_b), idx_a)
+        res = _sample_base(bs, c_idx, wi2, u2, u1_eff, eta_override,
+                           refl_scale, active, u_op)
+        # smooth-lobe lanes: MIS-combined weight f_mix / p_mix; delta
+        # lanes keep the picked child's weight (the other child's f is
+        # a.s. zero there) with pdf scaled by the pick probability
+        f_mix = eval(bs, idx, wi, jnp.where(flip[..., None],
+                                            res.wo * _FLIP_Z, res.wo),
+                     eta_override, refl_scale, active)
+        p_mix = pdf(bs, idx, wi, jnp.where(flip[..., None],
+                                           res.wo * _FLIP_Z, res.wo),
+                    eta_override, refl_scale, active)
+        pick_p = jnp.where(pick_a, w_a, 1.0 - w_a)
+        wt = jnp.where((is_mix & ~res.delta)[..., None],
+                       f_mix / jnp.maximum(p_mix, 1e-12)[..., None],
+                       res.weight)
+        pp = jnp.where(is_mix,
+                       jnp.where(res.delta, res.pdf * pick_p, p_mix),
+                       res.pdf)
+        res = res._replace(weight=wt, pdf=pp)
+    else:
+        res = _sample_base(bs, idx_a, wi2, u2, u1, eta_override,
+                           refl_scale, active, u_op)
+    wo_out = jnp.where(flip[..., None], res.wo * _FLIP_Z, res.wo)
+    return res._replace(wo=wo_out)

@@ -43,7 +43,8 @@ from ..scene.types import Media
 RIF_CONST = 0
 RIF_LINEAR = 1    # n = p0 + g . p                      params [p0, gx, gy, gz]
 RIF_RADIAL = 2    # n = p0 + a exp(-|p-c|^2 / w^2)      params [p0, a, w, cx, cy, cz]
-RIF_ACOUSTIC = 3  # n = p0 + nmax J0(kr r_perp), axis x params [p0, nmax, kr, mode]
+RIF_ACOUSTIC = 3  # n = p0 + nmax J_mode(kr r_perp) cos(mode phi), beam +x;
+#                   params [p0, nmax, kr, mode] (modes 0..4)
 RIF_SPLINE = 4    # cubic B-spline over rif_coeff
 
 # SDF kinds (media.sdf_kind)
@@ -75,6 +76,36 @@ def bessel_j0(x):
     xx = z - 0.78539816339
     big = jnp.sqrt(0.63661977236 / z) * (jnp.cos(xx) * P - jnp.sin(xx) * Q)
     return jnp.where(small, acc, big)
+
+
+def bessel_jm(m_static: int, x):
+    """J_m for a STATIC small integer order (acoustic RIF modes 0..4,
+    acousticrifvolume.cpp jn(mode, .)): small-|x| power series + upward
+    recurrence from J0/J1 for large arguments (stable for x > m)."""
+    if m_static == 0:
+        return bessel_j0(x)
+    if m_static == 1:
+        return bessel_j1(x)
+    ax = jnp.abs(x)
+    # power series around 0: J_m(x) = sum_k (-1)^k (x/2)^(2k+m)/(k!(k+m)!)
+    small = ax < 4.0
+    xs = jnp.where(small, ax, 0.0)
+    q = -0.25 * xs * xs
+    import math
+    term = (0.5 * xs) ** m_static / math.factorial(m_static)
+    acc = term
+    for k in range(1, 18):
+        term = term * q / (k * (k + m_static))
+        acc = acc + term
+    # upward recurrence J_{m+1} = (2m/x) J_m - J_{m-1}
+    xb = jnp.maximum(ax, 4.0)
+    jm1, jm = bessel_j0(xb), bessel_j1(xb)
+    for mm in range(1, m_static):
+        jm1, jm = jm, (2.0 * mm / xb) * jm - jm1
+    val = jnp.where(small, acc, jm)
+    if m_static % 2 == 1:
+        val = val * jnp.sign(x)
+    return val
 
 
 def bessel_j1(x):
@@ -147,28 +178,50 @@ def _rif_analytic(kind, prm, p, need_hess: bool):
         + dp[..., :, None] * g_r[..., None, :]
     )
 
-    # acoustic: n0 + nmax J0(kr * r_perp), r_perp in the y-z plane (beam
-    # along +x; acousticrifvolume.cpp mode-0 default)
+    # acoustic: n0 + nmax J_mode(kr r_perp) cos(mode phi), r_perp/phi in the
+    # y-z plane, beam along +x (acousticrifvolume.cpp:240-330 — arbitrary
+    # Bessel mode with azimuthal dependence; phi = atan2(y, z) as upstream).
+    # Value + gradient in closed form; Hessian by forward-mode jacobian of
+    # the closed-form gradient (exact, and immune to the long hand
+    # expansion upstream uses).
     kr = prm[2]
+    A_ac = prm[1]
+    mode_f = prm[3]
+
+    def _ac_grad(yzv):
+        y, z = yzv[..., 0], yzv[..., 1]
+        rr = jnp.maximum(jnp.sqrt(y * y + z * z), 1e-6)
+        phi = jnp.arctan2(y, z)
+        xx = kr * rr
+        jms = [bessel_jm(m, xx) for m in range(6)]
+        Jm = jms[0] * 0.0
+        dJm = Jm
+        cmp_ = Jm
+        smp_ = Jm
+        for m in range(5):
+            selm = mode_f == m
+            Jm = jnp.where(selm, jms[m], Jm)
+            dJ = (m / jnp.maximum(xx, 1e-9)) * jms[m] - jms[m + 1]
+            dJm = jnp.where(selm, dJ, dJm)
+            cmp_ = jnp.where(selm, jnp.cos(m * phi), cmp_)
+            smp_ = jnp.where(selm, jnp.sin(m * phi), smp_)
+        invr = 1.0 / rr
+        gy = A_ac * (dJm * kr * y * invr * cmp_
+                     - Jm * mode_f * smp_ * z * invr * invr)
+        gz = A_ac * (dJm * kr * z * invr * cmp_
+                     + Jm * mode_f * smp_ * y * invr * invr)
+        return jnp.stack([gy, gz], axis=-1), (Jm, cmp_)
+
     yz = p[..., 1:3]
-    r = jnp.maximum(length(yz), 1e-9)
-    j0 = bessel_j0(kr * r)
-    j1 = bessel_j1(kr * r)
-    v_a = prm[0] + prm[1] * j0
-    # dJ0/dr = -kr J1; grad = -nmax kr J1 * (0, y/r, z/r)
-    gy = -prm[1] * kr * j1 * yz[..., 0] / r
-    gz = -prm[1] * kr * j1 * yz[..., 1] / r
-    g_a = jnp.stack([jnp.zeros_like(gy), gy, gz], axis=-1)
-    # Hessian in the y-z block: d2/dr2 = -kr^2 (J0 - J1/(kr r))
-    d2 = -prm[1] * kr * kr * (j0 - j1 / jnp.maximum(kr * r, 1e-9))
-    d1_over_r = -prm[1] * kr * j1 / r
-    uy = yz[..., 0] / r
-    uz = yz[..., 1] / r
-    hyy = d2 * uy * uy + d1_over_r * (1 - uy * uy)
-    hzz = d2 * uz * uz + d1_over_r * (1 - uz * uz)
-    hyz = (d2 - d1_over_r) * uy * uz
-    H_a = zero33.at[..., 1, 1].set(hyy).at[..., 2, 2].set(hzz) \
-        .at[..., 1, 2].set(hyz).at[..., 2, 1].set(hyz)
+    g_yz, (Jm_v, cmp_v) = _ac_grad(yz)
+    v_a = prm[0] + A_ac * Jm_v * cmp_v
+    g_a = jnp.concatenate([jnp.zeros_like(g_yz[..., :1]), g_yz], axis=-1)
+    if need_hess:
+        H_yz = jax.vmap(jax.jacfwd(lambda w: _ac_grad(w[None])[0][0]))(yz)
+        H_a = zero33.at[..., 1:, 1:].set(0.5 * (H_yz
+                                                + jnp.swapaxes(H_yz, -1, -2)))
+    else:
+        H_a = zero33
 
     val = jnp.where(kind == RIF_LINEAR, v_l, v_c)
     val = jnp.where(kind == RIF_RADIAL, v_r, val)
@@ -532,6 +585,31 @@ class BVPResult(NamedTuple):
     rev_dir: jnp.ndarray        # (N, 3) -normalize(v) at arrival
 
 
+def _solve33(A, b):
+    """Batched 3x3 solve by the adjugate (Cramer): pure VPU arithmetic —
+    cheaper than the LU path of jnp.linalg.solve and avoids a batched-LU
+    kernel observed to hard-crash the TPU worker at large batch sizes."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    ok = jnp.abs(det) > 1e-30
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    x0 = (c00 * b[..., 0] + c01 * b[..., 1] + c02 * b[..., 2]) * inv_det
+    x1 = (c10 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]) * inv_det
+    x2 = (c20 * b[..., 0] + c21 * b[..., 1] + c22 * b[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _levenberg_solve(rif: RifField, sdf: SdfField, p1, p2, v0, h,
                      max_steps: int, active, tol2: float,
                      max_iters: int = 12):
@@ -554,7 +632,7 @@ def _levenberg_solve(rif: RifField, sdf: SdfField, p1, p2, v0, h,
         A = jnp.einsum("...ij,...jk->...ik", JT, J)
         A = A + (lam[..., None, None] + 1e-9) * eyeb
         b = -jnp.einsum("...ij,...j->...i", JT, err)
-        return jnp.linalg.solve(A, b[..., None])[..., 0]
+        return _solve33(A, b)
 
     err0, J0 = eval_err(v0, active)
     cost0 = dot(err0, err0)

@@ -239,6 +239,24 @@ class DensityBricks:
         return jnp.where(inside, val, 0.0)
 
 
+def orientation_axis(media: Media, idx, p, active=None):
+    """Per-lane local fiber/flake axis from the shared orientation field
+    (heterogeneous.cpp:164 'orientation' VolumeDataSource): trilinear
+    3-channel lookup, falling back to the per-medium table axis where the
+    field is (near-)zero or the point is outside the grid."""
+    from ..core import smalltab as _st
+    base = _st.take(media.phase.axis,
+                    jnp.clip(idx, 0, media.phase.axis.shape[0] - 1))
+    o = media.orient.data
+    if o.shape[:3] == (1, 1, 1):
+        return base
+    chans = [spline.trilinear(o[..., c], media.orient.aabb_min,
+                              media.orient.aabb_max, p) for c in range(3)]
+    v = jnp.stack(chans, axis=-1)
+    nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return jnp.where(nrm > 1e-6, v / jnp.maximum(nrm, 1e-12), base)
+
+
 def sigma_t_spectral(media: Media, kind, sigma_a, sigma_s, scale, p):
     """(N, 3) sigma_t at p for homogeneous or heterogeneous media."""
     st_h = sigma_a + sigma_s

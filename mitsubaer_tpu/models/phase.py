@@ -74,7 +74,7 @@ def _kkay_value(wi, wo, axis, expn=4.0):
 
 
 def _eval_kinds(kind, g, cos_forward, ph=None, idx=None, wi=None, wo=None,
-                active=None):
+                active=None, axis_override=None):
     """cos_forward = dot(wi_prop, wo_prop); +1 = straight ahead."""
     v_iso = jnp.full_like(cos_forward, INV_FOURPI)
     # hg.cpp:107 with wi negated: (1-g^2) / (1+g^2-2g cos)^(3/2) / 4pi
@@ -87,6 +87,8 @@ def _eval_kinds(kind, g, cos_forward, ph=None, idx=None, wi=None, wo=None,
                               PH_MICROFLAKE):
         from ..core import special
         g2, mix, kappa, axis = _params_ext(ph, idx)
+        if axis_override is not None:
+            axis = axis_override
         if _on(active, PH_MIXTURE):
             v_mix = mix * v_hg + (1.0 - mix) * warp.hg_pdf(g2, -cos_forward)
             out = jnp.where(kind == PH_MIXTURE, v_mix, out)
@@ -106,18 +108,21 @@ def _eval_kinds(kind, g, cos_forward, ph=None, idx=None, wi=None, wo=None,
     return out
 
 
-def eval(ph: PhaseTable, idx, wi, wo, active=None):
-    """Phase value (== pdf for these models)."""
+def eval(ph: PhaseTable, idx, wi, wo, active=None, axis_override=None):
+    """Phase value (== pdf for these models). axis_override: per-lane local
+    fiber/flake axis from an orientation field (heterogeneous.cpp:164),
+    replacing the per-medium table axis."""
     kind, g = _params(ph, idx)
     return _eval_kinds(kind, g, dot(wi, wo), ph=ph, idx=idx, wi=wi, wo=wo,
-                       active=active)
+                       active=active, axis_override=axis_override)
 
 
-def pdf(ph: PhaseTable, idx, wi, wo, active=None):
-    return eval(ph, idx, wi, wo, active=active)
+def pdf(ph: PhaseTable, idx, wi, wo, active=None, axis_override=None):
+    return eval(ph, idx, wi, wo, active=active, axis_override=axis_override)
 
 
-def sample(ph: PhaseTable, idx, wi, u2, active=None) -> PhaseSample:
+def sample(ph: PhaseTable, idx, wi, u2, active=None,
+           axis_override=None) -> PhaseSample:
     kind, g = _params(ph, idx)
     frame = Frame.from_normal(wi)
 
@@ -142,6 +147,8 @@ def sample(ph: PhaseTable, idx, wi, u2, active=None) -> PhaseSample:
     if _on(active, PH_MIXTURE, PH_VMF, PH_KKAY, PH_MICROFLAKE):
         from ..core import special
         g2, mix, kappa, axis = _params_ext(ph, idx)
+        if axis_override is not None:
+            axis = axis_override
         if _on(active, PH_MIXTURE):
             # mixture: pick a lobe by rescaled u2[0]
             pick1 = u2[..., 0] < mix
@@ -170,7 +177,7 @@ def sample(ph: PhaseTable, idx, wi, u2, active=None) -> PhaseSample:
 
     wo = jax.lax.stop_gradient(wo)
     p = _eval_kinds(kind, g, dot(wi, wo), ph=ph, idx=idx, wi=wi, wo=wo,
-                    active=active)
+                    active=active, axis_override=axis_override)
     # weight == 1 in value; writing it as eval/stop(pdf) keeps the pathwise
     # derivative w.r.t. phase parameters (g) attached; the matching score
     # term is restored via the log-pdf surrogate in the integrator.

@@ -31,6 +31,10 @@ class _BSDF:
     alpha_v: float = 0.1
     opacity: float = 1.0
     texture: int = -1
+    twosided: bool = False
+    child0: int = -1
+    child1: int = -1
+    mix_w: float = 0.5
 
 
 @dataclass
@@ -77,6 +81,7 @@ class _Medium:
     density: Optional[np.ndarray] = None       # (nz, ny, nx)
     density_aabb: Optional[tuple] = None
     albedo_grid: Optional[np.ndarray] = None   # (nz, ny, nx, 3)
+    orientation: Optional[np.ndarray] = None   # (nz, ny, nx, 3) local axes
     # refractive
     rif_kind: int = 0                          # eikonal.RIF_* (0 = const)
     rif_params: tuple = (1.0, 0, 0, 0, 0, 0, 0, 0)
@@ -313,7 +318,21 @@ class SceneBuilder:
             alpha_v=jnp.asarray(np.array([b.alpha_v for b in self._bsdfs], np.float32)),
             opacity=jnp.asarray(np.array([b.opacity for b in self._bsdfs], np.float32)),
             texture=jnp.asarray(np.array([b.texture for b in self._bsdfs], np.int32)),
+            twosided=jnp.asarray(np.array([b.twosided for b in self._bsdfs], bool)),
+            child0=jnp.asarray(np.array([b.child0 for b in self._bsdfs], np.int32)),
+            child1=jnp.asarray(np.array([b.child1 for b in self._bsdfs], np.int32)),
+            mix_w=jnp.asarray(np.array([b.mix_w for b in self._bsdfs], np.float32)),
         )
+        _wrap = (T.BSDF_MIXTURE, T.BSDF_TWOSIDED)
+        for b in self._bsdfs:
+            if b.kind in _wrap:
+                cs = [b.child0] + ([b.child1] if b.kind == T.BSDF_MIXTURE
+                                   else [])
+                for c in cs:
+                    assert 0 <= c < len(self._bsdfs), "wrapper child id"
+                    assert self._bsdfs[c].kind not in _wrap, \
+                        "wrapper children must be base BSDFs (one level; " \
+                        "the reference's mixturebsdf flattens nesting too)" 
 
         emitters = self._build_emitters(tri, tri_shape, areas2)
         sensor = self._build_sensor()
@@ -321,6 +340,12 @@ class SceneBuilder:
         textures = self._build_textures()
 
         kinds = {b.kind for b in self._bsdfs}
+        for b in self._bsdfs:
+            if b.kind == T.BSDF_MIXTURE:
+                kinds.add(self._bsdfs[b.child0].kind)
+                kinds.add(self._bsdfs[b.child1].kind)
+            if b.kind == T.BSDF_TWOSIDED:
+                kinds.add(self._bsdfs[b.child0].kind)
         if any(s_["bsdf"] < 0 for s_ in self._shapes):
             kinds.add(T.BSDF_NULL)
         self.config = self.config._replace(
@@ -330,6 +355,7 @@ class SceneBuilder:
                 m.strategy != T.STRAT_BALANCE for m in self._media),
             phase_kinds=tuple(sorted({m.phase_kind for m in self._media}))
             or (T.PH_ISOTROPIC,),
+            phase_orient=any(m.orientation is not None for m in self._media),
             sensor_kind=int((self._sensor or {}).get(
                 "kind", T.SENSOR_PERSPECTIVE)),
         )
@@ -513,6 +539,8 @@ class SceneBuilder:
         majorant = 0.0
         rif_coeff, rif_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
         sdf_coeff, sdf_aabb = np.ones((1, 1, 1), np.float32), (np.zeros(3), np.ones(3))
+        orient = T.GridData(jnp.zeros((1, 1, 1, 3), jnp.float32),
+                            jnp.zeros(3), jnp.ones(3))
         sdf_error = 0.0
         rif_kind, rif_params = 0, (1.0, 0, 0, 0, 0, 0, 0, 0)
         sdf_kind, sdf_params = 0, (0.0,) * 8
@@ -526,6 +554,11 @@ class SceneBuilder:
                 if m.albedo_grid is not None:
                     albedo = T.GridData(
                         jnp.asarray(m.albedo_grid, jnp.float32),
+                        jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+                    )
+                if m.orientation is not None:
+                    orient = T.GridData(
+                        jnp.asarray(m.orientation, jnp.float32),
                         jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
                     )
                 majorant = float(np.max(m.density) * m.scale)
@@ -566,6 +599,7 @@ class SceneBuilder:
             scale=jnp.asarray(np.array([m.scale for m in self._media], np.float32)),
             density=density,
             albedo=albedo,
+            orient=orient,
             brick_map=jnp.asarray(brick_map),
             majorant=jnp.asarray(majorant, jnp.float32),
             rif_kind=jnp.asarray(rif_kind, jnp.int32),

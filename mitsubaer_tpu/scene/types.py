@@ -30,6 +30,8 @@ BSDF_ROUGHPLASTIC = 11
 BSDF_WARD = 12
 BSDF_DIFFTRANS = 13       # diffuse transmitter (difftrans.cpp)
 BSDF_HROUGHDIELECTRIC = 14  # rough dielectric w/ RIF-queried eta (hroughdielectric.cpp)
+BSDF_MIXTURE = 15         # convex combination of two base BSDFs (mixturebsdf.cpp/blendbsdf.cpp)
+BSDF_TWOSIDED = 16        # twosided.cpp wrapper: child0 shaded on both faces
 
 # Texture kinds (models/texture.py; reference src/textures/*)
 TEX_NONE = -1
@@ -113,6 +115,11 @@ class BSDFs(NamedTuple):
     opacity: jnp.ndarray        # (NB,) mask.cpp opacity (1 = fully opaque)
     texture: jnp.ndarray        # (NB,) int32 texture id modulating
     #   reflectance (-1 = constant; models/texture.py)
+    twosided: jnp.ndarray       # (NB,) bool twosided.cpp wrapper: shade
+    #   back faces by mirroring the frame
+    child0: jnp.ndarray         # (NB,) int32 mixture child A (-1 unused)
+    child1: jnp.ndarray         # (NB,) int32 mixture child B
+    mix_w: jnp.ndarray          # (NB,) mixture weight of child A
 
 
 class Textures(NamedTuple):
@@ -214,6 +221,9 @@ class Media(NamedTuple):
     # heterogeneous: sigma_t = scale * density(p) * sigma_t_color
     density: GridData       # shared density grid (medium with kind HETEROGENEOUS)
     albedo: GridData        # shared albedo grid (3-channel or broadcast)
+    orient: GridData        # shared per-voxel flake/fiber orientation field
+    #   ((1,1,1,3) zeros when absent; heterogeneous.cpp:164 'orientation'
+    #   VolumeDataSource for microflake media)
     brick_map: jnp.ndarray  # (nbz, nby, nbx, 128) int32 flat voxel ids per
     #   apron-padded 8x4x4 brick (see models/medium.py bricked access)
     majorant: jnp.ndarray   # () max sigma_t over grid for Woodcock tracking
@@ -319,6 +329,8 @@ class RenderConfig(NamedTuple):
     #   stalls, per-sample slots; small values cap pending-buffer traffic at
     #   the cost of a min-completed barrier across lanes)
     phase_kinds: tuple = ()      # static set of phase kinds in the scene
+    phase_orient: bool = False   # static: a medium carries a per-voxel
+    #   orientation field (microflake/kkay local axes)
     sensor_kind: int = -1        # static sensor kind (-1 = compile all)
 
     @property
@@ -345,6 +357,8 @@ def empty_media() -> Media:
         scale=jnp.ones((1,), jnp.float32),
         density=g1,
         albedo=g1,
+        orient=GridData(jnp.zeros((1, 1, 1, 3), jnp.float32),
+                        jnp.zeros(3), jnp.ones(3)),
         brick_map=jnp.zeros((1, 1, 1, 128), jnp.int32),
         majorant=jnp.zeros((), jnp.float32),
         rif_kind=jnp.zeros((), jnp.int32),

@@ -21,6 +21,10 @@ def _bsdf_table(kind, **kw):
         cond_k=jnp.ones((nb, 3)), alpha=jnp.full((nb,), 0.2),
         exponent=jnp.full((nb,), 30.0), alpha_v=jnp.full((nb,), 0.1),
         opacity=jnp.ones((nb,)), texture=jnp.full((nb,), -1, jnp.int32),
+        twosided=jnp.zeros((nb,), bool),
+        child0=jnp.full((nb,), -1, jnp.int32),
+        child1=jnp.full((nb,), -1, jnp.int32),
+        mix_w=jnp.full((nb,), 0.5),
     )
     for k, v in kw.items():
         d[k] = v
@@ -206,3 +210,106 @@ class TestEnvmap:
         upper = img[:14]  # sky region away from horizon/sun: B >= R
         mask = upper.sum(-1) > 1e-3
         assert (upper[..., 2][mask] >= upper[..., 0][mask] * 0.8).mean() > 0.7
+
+
+class TestWrapperBSDFs:
+    """twosided.cpp + mixturebsdf.cpp/blendbsdf.cpp wrapper kinds."""
+
+    def _table3(self):
+        nb = 3
+        d = dict(
+            kind=jnp.asarray([T.BSDF_DIFFUSE, T.BSDF_ROUGHCONDUCTOR,
+                              T.BSDF_MIXTURE], jnp.int32),
+            reflectance=jnp.full((nb, 3), 0.6),
+            specular_r=jnp.ones((nb, 3)), specular_t=jnp.ones((nb, 3)),
+            eta=jnp.full((nb,), 1.5), cond_eta=jnp.zeros((nb, 3)),
+            cond_k=jnp.ones((nb, 3)), alpha=jnp.full((nb,), 0.3),
+            exponent=jnp.full((nb,), 30.0), alpha_v=jnp.full((nb,), 0.1),
+            opacity=jnp.ones((nb,)), texture=jnp.full((nb,), -1, jnp.int32),
+            twosided=jnp.zeros((nb,), bool),
+            child0=jnp.asarray([-1, -1, 0], jnp.int32),
+            child1=jnp.asarray([-1, -1, 1], jnp.int32),
+            mix_w=jnp.asarray([0.5, 0.5, 0.35]),
+        )
+        return T.BSDFs(**d)
+
+    def test_mixture_eval_is_convex_combo(self):
+        bs = self._table3()
+        n = 1024
+        rng = np.random.default_rng(1)
+        wi = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+        wi = wi.at[:, 2].set(jnp.abs(wi[:, 2]) + 0.1)
+        wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+        wo = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        wo = wo.at[:, 2].set(jnp.abs(wo[:, 2]) + 0.1)
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        i0 = jnp.zeros((n,), jnp.int32)
+        f0 = bsdf_m.eval(bs, i0, wi, wo)
+        f1 = bsdf_m.eval(bs, i0 + 1, wi, wo)
+        fm = bsdf_m.eval(bs, i0 + 2, wi, wo)
+        assert np.allclose(np.asarray(fm),
+                           0.35 * np.asarray(f0) + 0.65 * np.asarray(f1),
+                           atol=1e-5)
+        p0 = bsdf_m.pdf(bs, i0, wi, wo)
+        p1 = bsdf_m.pdf(bs, i0 + 1, wi, wo)
+        pm = bsdf_m.pdf(bs, i0 + 2, wi, wo)
+        assert np.allclose(np.asarray(pm),
+                           0.35 * np.asarray(p0) + 0.65 * np.asarray(p1),
+                           atol=1e-5)
+
+    def test_mixture_sample_consistency(self):
+        """E[sample weight] == MC integral of eval over the sphere."""
+        bs = self._table3()
+        n = 200000
+        rng = np.random.default_rng(2)
+        idx = jnp.full((n,), 2, jnp.int32)
+        wi = jnp.broadcast_to(jnp.asarray([0.3, -0.1, 0.95]), (n, 3))
+        wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+        smp = bsdf_m.sample(bs, idx, wi,
+                            jnp.asarray(rng.random((n, 2)), jnp.float32),
+                            jnp.asarray(rng.random(n), jnp.float32))
+        mean_w = np.asarray(smp.weight).mean(axis=0)
+        # MC reference: uniform sphere integral of eval
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        f = np.asarray(bsdf_m.eval(bs, idx, wi, jnp.asarray(d)))
+        ref = f.mean(axis=0) * 4.0 * np.pi
+        assert np.allclose(mean_w, ref, rtol=0.05), (mean_w, ref)
+
+    def test_twosided_backface(self):
+        nb = 2
+        bs = T.BSDFs(
+            kind=jnp.asarray([T.BSDF_DIFFUSE, T.BSDF_TWOSIDED], jnp.int32),
+            reflectance=jnp.full((nb, 3), 0.7),
+            specular_r=jnp.ones((nb, 3)), specular_t=jnp.ones((nb, 3)),
+            eta=jnp.full((nb,), 1.5), cond_eta=jnp.zeros((nb, 3)),
+            cond_k=jnp.ones((nb, 3)), alpha=jnp.full((nb,), 0.2),
+            exponent=jnp.full((nb,), 30.0), alpha_v=jnp.full((nb,), 0.1),
+            opacity=jnp.ones((nb,)), texture=jnp.full((nb,), -1, jnp.int32),
+            twosided=jnp.zeros((nb,), bool),
+            child0=jnp.asarray([-1, 0], jnp.int32),
+            child1=jnp.asarray([-1, -1], jnp.int32),
+            mix_w=jnp.full((nb,), 0.5),
+        )
+        n = 16
+        wi_back = jnp.broadcast_to(jnp.asarray([0.2, 0.1, -0.97]), (n, 3))
+        wi_back = wi_back / jnp.linalg.norm(wi_back, axis=-1, keepdims=True)
+        wo_back = jnp.broadcast_to(jnp.asarray([-0.3, 0.2, -0.93]), (n, 3))
+        wo_back = wo_back / jnp.linalg.norm(wo_back, axis=-1, keepdims=True)
+        i0, i1 = jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)
+        # plain diffuse: black from behind; twosided: mirrored-front value
+        f_plain = np.asarray(bsdf_m.eval(bs, i0, wi_back, wo_back))
+        f_ts = np.asarray(bsdf_m.eval(bs, i1, wi_back, wo_back))
+        f_front = np.asarray(bsdf_m.eval(
+            bs, i0, wi_back * jnp.asarray([1., 1., -1.]),
+            wo_back * jnp.asarray([1., 1., -1.])))
+        assert np.all(f_plain == 0)
+        assert np.allclose(f_ts, f_front, atol=1e-6)
+        # sampling from the back returns a back-hemisphere direction
+        rng = np.random.default_rng(3)
+        smp = bsdf_m.sample(bs, i1, wi_back,
+                            jnp.asarray(rng.random((n, 2)), jnp.float32),
+                            jnp.asarray(rng.random(n), jnp.float32))
+        assert np.all(np.asarray(smp.wo[:, 2]) < 0)

@@ -203,3 +203,34 @@ class TestBVPMultiplicity:
         assert conv.mean() > 0.9
         w = np.asarray(r.weight)[conv]
         assert np.all(np.abs(w - 1.0) < 1e-6), np.unique(w)
+
+
+class TestSensorSideConnections:
+    """Sensor-side curved connections (makeSensorDirectConnections,
+    heterogeneousrefractive.cpp:960-992): light particles inside the
+    refractive body splat to the camera through the solved BVP + one
+    boundary refraction."""
+
+    def _scene(self, a):
+        scene, cfg = presets.refractive_sphere(
+            res=24, spp=1, max_depth=4, rif_kind=ek.RIF_RADIAL,
+            rif_params=(1.33, a, 0.5, 0.0, 0.0, 0.0), er_stepsize=0.02,
+            emitter="point", filter="box")
+        return scene, cfg._replace(er_maxsteps=256, bvp_restarts=4)
+
+    def test_light_image_renders_and_responds_to_rif(self):
+        from mitsubaer_tpu.integrators import volpath_er as er
+
+        scene, cfg = self._scene(0.0)
+        img = np.asarray(er.render_er_light_image(scene, cfg, seed=0,
+                                                  n_passes=3))
+        assert np.isfinite(img).all()
+        assert img.sum() > 0
+        # a strong lens redistributes the splats
+        scene2, cfg2 = self._scene(0.5)
+        img2 = np.asarray(er.render_er_light_image(scene2, cfg2, seed=0,
+                                                   n_passes=3))
+        assert np.isfinite(img2).all() and img2.sum() > 0
+        a = img.sum(-1).ravel(); b = img2.sum(-1).ravel()
+        a = a / max(a.sum(), 1e-9); b = b / max(b.sum(), 1e-9)
+        assert np.abs(a - b).sum() > 0.05, np.abs(a - b).sum()
