@@ -69,12 +69,16 @@ def bench_er_forward(jax, jnp, np):
     from mitsubaer_tpu.models import eikonal as ek
     from mitsubaer_tpu.scene import presets
 
-    res, spp = 128, 2
+    res, spp = 64, 2
     scene, cfg = presets.refractive_sphere(
         res=res, spp=spp, max_depth=6, rif_kind=ek.RIF_LINEAR,
-        rif_params=(1.3, 0.15, 0.0, 0.0), er_stepsize=5e-3,
+        rif_params=(1.3, 0.15, 0.0, 0.0), er_stepsize=1e-2,
         emitter="point", filter="box")
-    cfg = cfg._replace(er_maxsteps=1024)
+    # NOTE: large lane-count x large er_maxsteps programs trip the TPU
+    # worker's long-running-kernel watchdog through the axon tunnel
+    # ("kernel fault"); keep the per-call program short (256 steps) and
+    # amortize accuracy over step size instead (h=1e-2 on a unit sphere)
+    cfg = cfg._replace(er_maxsteps=256)
     scene = jax.device_put(scene)
     img = rm.render(scene, cfg, seed=0)          # compile + warm
     _ = float(jnp.asarray(img).sum())
@@ -98,12 +102,12 @@ def bench_er_grad(jax, jnp, np):
     from mitsubaer_tpu.models import sensor as sensor_m
     from mitsubaer_tpu.scene import presets
 
-    res, spp = 64, 2
+    res, spp = 32, 2
     scene, cfg = presets.refractive_sphere(
         res=res, spp=spp, max_depth=4, rif_kind=ek.RIF_RADIAL,
         rif_params=(1.33, 0.1, 0.5, 0.0, 0.0, 0.0), er_stepsize=1e-2,
         emitter="point", filter="box")
-    cfg = cfg._replace(er_maxsteps=384)
+    cfg = cfg._replace(er_maxsteps=192)
     scene = jax.device_put(scene)
     npix = res * res
 

@@ -58,20 +58,21 @@ def child(num_procs: int, pid: int):
     cfg = cfg._replace(filter="box")
 
     img = render_sharded(scene, cfg, n_devices=TOTAL_DEV, tile=2, seed=3)
+    jax.block_until_ready(img)
     # warm timing run
     t0 = time.perf_counter()
     img2 = render_sharded(scene, cfg, n_devices=TOTAL_DEV, tile=2, seed=3)
-    np.asarray(jax.device_get(img2))
+    jax.block_until_ready(img2)
     dt = time.perf_counter() - t0
 
-    gathered = np.asarray(multihost_utils.process_allgather(img))
+    gathered = np.asarray(multihost_utils.process_allgather(img, tiled=True))
     if pid == 0:
-        rays = RES * RES * SPP * 2.0  # ~2 segments/sample lower bound
         print(json.dumps({
             "num_procs": num_procs,
             "wall_s": round(dt, 3),
-            "img_mean": float(np.asarray(img).mean()),
-            "img_sha": hash(np.asarray(gathered).tobytes()) & 0xFFFFFFFF,
+            "img_mean": float(gathered.mean()),
+            "img_sha": __import__("zlib").crc32(
+                np.ascontiguousarray(gathered, np.float32).tobytes()),
         }), flush=True)
 
 
