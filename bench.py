@@ -88,7 +88,7 @@ def bench_er_forward(jax, jnp, np):
     dt = time.perf_counter() - t0
     return dict(msamples=res * res * spp / dt / 1e6,
                 valid=bool(np.isfinite(m) and m > 0),
-                config=f"linear-RIF ER {res}x{res} spp{spp} h5e-3")
+                config=f"linear-RIF ER {res}x{res} spp{spp} h1e-2")
 
 
 def bench_er_grad(jax, jnp, np):

@@ -239,7 +239,34 @@ class XMLLoader:
 
     def _bsdf(self, node, bsdf_id=None) -> int:
         t = node.get("type")
-        if t in ("twosided", "bumpmap", "normalmap", "coating", "roughcoating"):
+        if t == "twosided":
+            # twosided.cpp wrapper kind (models/bsdf.py _wrapper_resolve)
+            for c in node:
+                if c.tag == "bsdf":
+                    child = self._bsdf(c)
+                    idx = self.b.add_bsdf(T.BSDF_TWOSIDED, child0=child)
+                    if bsdf_id:
+                        self.bsdf_ids[bsdf_id] = idx
+                    return idx
+        if t in ("mixturebsdf", "blendbsdf"):
+            # mixturebsdf.cpp / blendbsdf.cpp: two-component convex mix
+            p0 = _props(node)
+            kids = [c for c in node if c.tag == "bsdf"]
+            if len(kids) >= 2:
+                w = p0.get("weights", "0.5 0.5")
+                if isinstance(w, str):
+                    ws = [float(x) for x in w.replace(",", " ").split()]
+                else:
+                    ws = [float(w), 1.0 - float(w)]
+                w0 = ws[0] / max(sum(ws[:2]), 1e-9)
+                c0 = self._bsdf(kids[0])
+                c1 = self._bsdf(kids[1])
+                idx = self.b.add_bsdf(T.BSDF_MIXTURE, child0=c0, child1=c1,
+                                      mix_w=w0)
+                if bsdf_id:
+                    self.bsdf_ids[bsdf_id] = idx
+                return idx
+        if t in ("bumpmap", "normalmap", "coating", "roughcoating"):
             # unwrap adapters to the nested BSDF
             for c in node:
                 if c.tag == "bsdf":
@@ -284,7 +311,10 @@ class XMLLoader:
         t = node.get("type", "isotropic")
         p = _props(node)
         kind = {"isotropic": T.PH_ISOTROPIC, "hg": T.PH_HG,
-                "rayleigh": T.PH_RAYLEIGH}.get(t, T.PH_ISOTROPIC)
+                "rayleigh": T.PH_RAYLEIGH, "vmf": T.PH_VMF,
+                "vmf2": T.PH_VMF, "mixturephase": T.PH_MIXTURE,
+                "kkay": T.PH_KKAY,
+                "microflake": T.PH_MICROFLAKE}.get(t, T.PH_ISOTROPIC)
         return kind, float(p.get("g", 0.0))
 
     def _volume(self, node):
