@@ -9,7 +9,7 @@ from mitsubaer_tpu.integrators import render as rm
 from mitsubaer_tpu.scene import presets
 
 
-def _cbox(res=32, spp=48, max_depth=4):
+def _cbox(res=24, spp=32, max_depth=4):
     scene, cfg = presets.cornell_box(res=res)
     cfg = cfg._replace(spp=spp, max_depth=max_depth, filter="box",
                        sampler="independent")

@@ -205,6 +205,7 @@ class TestBVPMultiplicity:
         assert np.all(np.abs(w - 1.0) < 1e-6), np.unique(w)
 
 
+@pytest.mark.slow
 class TestSensorSideConnections:
     """Sensor-side curved connections (makeSensorDirectConnections,
     heterogeneousrefractive.cpp:960-992): light particles inside the
