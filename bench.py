@@ -78,7 +78,7 @@ def bench_er_forward(jax, jnp, np):
     # worker's long-running-kernel watchdog through the axon tunnel
     # ("kernel fault"); keep the per-call program short (256 steps) and
     # amortize accuracy over step size instead (h=1e-2 on a unit sphere)
-    cfg = cfg._replace(er_maxsteps=256)
+    cfg = cfg._replace(er_maxsteps=256, bvp_restarts=8)
     scene = jax.device_put(scene)
     img = rm.render(scene, cfg, seed=0)          # compile + warm
     _ = float(jnp.asarray(img).sum())
@@ -107,7 +107,7 @@ def bench_er_grad(jax, jnp, np):
         res=res, spp=spp, max_depth=4, rif_kind=ek.RIF_RADIAL,
         rif_params=(1.33, 0.1, 0.5, 0.0, 0.0, 0.0), er_stepsize=1e-2,
         emitter="point", filter="box")
-    cfg = cfg._replace(er_maxsteps=192)
+    cfg = cfg._replace(er_maxsteps=192, bvp_restarts=8)
     scene = jax.device_put(scene)
     npix = res * res
 

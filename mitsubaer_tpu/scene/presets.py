@@ -194,6 +194,12 @@ def refractive_sphere(res: int = 64, spp: int = 16, max_depth: int = 8,
     b.config = b.config._replace(
         width=res, height=res, spp=spp, max_depth=max_depth,
         integrator="volpath_er", er_stepsize=er_stepsize, er_maxsteps=1024,
+        # preset/test scenes use the legacy single Levenberg solve: the
+        # full restart machinery (nested while loops) multiplies COMPILE
+        # time several-fold on the 2-core CPU host, and is validated
+        # directly by the TestBVPMultiplicity solver tests; the bench and
+        # production configs re-enable it via cfg (bvp_restarts=8)
+        bvp_restarts=0,
         **cfg_kw
     )
     return b.build(), b.config
