@@ -79,7 +79,11 @@ class TestStraightLimit:
         np.testing.assert_allclose(ce, cv, rtol=0.15)
 
 
+@pytest.mark.slow
 class TestCurvedRendering:
+    # each test is a distinct static shape -> its own ~5 min ER-engine
+    # compile on the 2-core host; the physics they exercise is covered by
+    # the fast eikonal unit tests + TestStraightLimit
     def test_radial_lens_renders(self):
         s, c = presets.refractive_sphere(
             res=20, spp=8, max_depth=6, rif_kind=ek.RIF_RADIAL,
