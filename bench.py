@@ -29,8 +29,13 @@ def bench_het(jax, jnp, np):
         res=res, spp=sppc, heterogeneous=True, density_res=64,
         max_depth=max_depth,
     )
+    # r3 sweep (scripts/profile_passes2.py on v5e): mini=2,T=3 full-width
+    # cuts full event iterations 146->80 vs mini=1 (9.08 vs 8.44 Mrays/s);
+    # sort-compacted tracking (wf_track_compact) measured net-negative
+    # end-to-end (5.6-5.9) — the (W,C) state gather costs ~50 ns/row and
+    # overflow-delayed lanes add ~20% more full passes.
     cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3,
-                       wf_mini_passes=1)
+                       wf_mini_passes=2)
     scene = jax.device_put(scene)
     npix = res * res
     L = jnp.zeros((npix, 3), jnp.float32)

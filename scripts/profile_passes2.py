@@ -70,13 +70,16 @@ def make_runner(kind, cfg):
 
 cfg = cfg0
 import os
-for kind in os.environ.get("KINDS", "event,mini,track").split(","):
+for kind in filter(None, os.environ.get("KINDS", "event,mini,track").split(",")):
     r = make_runner(kind, cfg)
     dt = time_k(r, 4, 24)
     print(f"{kind:8s} {dt*1e3:6.2f} ms/pass", flush=True)
 
-for (mp, ti) in VARIANTS:
-    cfg = cfg0._replace(wf_mini_passes=mp, wf_track_iters=ti)
+for var in VARIANTS:
+    mp, ti = var[0], var[1]
+    tc = var[2] if len(var) > 2 else 0
+    cfg = cfg0._replace(wf_mini_passes=mp, wf_track_iters=ti,
+                        wf_track_compact=tc)
     L = jnp.zeros((npix, 3), jnp.float32)
     L1, stats = render_pass_wavefront(scene, L, cfg, sppc, jnp.uint32(0),
                                       jnp.uint32(0), has_direct=False,
@@ -90,7 +93,7 @@ for (mp, ti) in VARIANTS:
     _ = float(L2.sum())
     dt = time.perf_counter() - t0
     samples = npix * sppc
-    print(f"mini={mp} T={ti}: pass {dt:.3f}s  full_iters {iters} "
+    print(f"mini={mp} T={ti} tc={tc}: pass {dt:.3f}s  full_iters {iters} "
           f"unfin {unfinished}  segs/spl {segs/samples:.2f} "
           f"taps/spl {taps/samples:.2f}  Mrays/s {segs/dt/1e6:.2f}  "
           f"Msamples/s {samples/dt/1e6:.2f}", flush=True)

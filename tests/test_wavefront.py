@@ -104,3 +104,68 @@ def test_wavefront_every_pixel_gets_exactly_spp_samples():
         has_direct=True, any_het=False)
     img = np.asarray(L) / 4.0
     assert np.allclose(img, 0.5, atol=1e-5), (img.min(), img.max())
+
+
+def test_compacted_tracking_matches_full_width():
+    """The sort-compacted tracking pass (cfg.wf_track_compact) computes the
+    same per-lane Woodcock/ratio-tracking algebra as the full-width pass.
+
+    At W=n (compact=1) the scheduling is identical, so the render must match
+    to float-reassociation rounding. Narrower windows only change WHICH pass
+    serves a lane (and hence the sampler dims its events consume) — checked
+    statistically in test_compacted_tracking_narrow_window_unbiased."""
+    import jax.numpy as jnp
+
+    from mitsubaer_tpu.integrators.render import render_pass_wavefront
+    from mitsubaer_tpu.scene import presets
+
+    res, sppc = 24, 4
+    scene, cfg = presets.volumetric_box(
+        res=res, spp=sppc, heterogeneous=True, density_res=16, max_depth=6)
+    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3,
+                       wf_mini_passes=1)
+    L0 = jnp.zeros((res * res, 3), jnp.float32)
+    out = {}
+    for tc in (0, 1):
+        L, stats = render_pass_wavefront(
+            scene, L0, cfg._replace(wf_track_compact=tc), sppc,
+            jnp.uint32(0), jnp.uint32(0), has_direct=False, any_het=True)
+        out[tc] = (np.asarray(L), [int(x) for x in stats])
+    assert out[0][1][:2] == out[1][1][:2], "segment/tap counts diverged"
+    np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-4, atol=1e-4)
+
+
+def test_compacted_tracking_narrow_window_unbiased():
+    """compact>1 re-schedules tracking into a narrow window (here W=256 <
+    n=576); delayed (overflow) lanes consume different sampler dims, so the
+    comparison is statistical: a z-test on the per-pass image means (the
+    beam-NEE estimator is heavy-tailed — relative SEM ~25% per pass — which
+    is why a naive few-percent mean comparison is under-powered here)."""
+    import jax.numpy as jnp
+
+    from mitsubaer_tpu.integrators.render import render_pass_wavefront
+    from mitsubaer_tpu.scene import presets
+
+    res, sppc, P = 24, 8, 10
+    scene, cfg = presets.volumetric_box(
+        res=res, spp=sppc, heterogeneous=True, density_res=16, max_depth=6)
+    cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3,
+                       wf_mini_passes=1)
+    L0 = jnp.zeros((res * res, 3), jnp.float32)
+    stats = {}
+    for tc in (0, 4):
+        per_pass = []
+        prev = np.zeros((res * res, 3), np.float32)
+        L = L0
+        for i in range(P):
+            L, _ = render_pass_wavefront(
+                scene, L, cfg._replace(wf_track_compact=tc), sppc,
+                jnp.uint32(0), jnp.uint32(i), has_direct=False, any_het=True)
+            cur = np.asarray(L)
+            per_pass.append((cur - prev).mean() / sppc)
+            prev = cur
+        per_pass = np.array(per_pass)
+        stats[tc] = (per_pass.mean(), per_pass.std() / np.sqrt(P))
+    (m0, s0), (m4, s4) = stats[0], stats[4]
+    z = abs(m0 - m4) / np.sqrt(s0 ** 2 + s4 ** 2 + 1e-30)
+    assert z < 4.0, (stats, z)
