@@ -403,4 +403,115 @@ def read_image(path):
         # sRGB -> linear (bitmap.cpp gamma handling)
         return np.where(arr <= 0.04045, arr / 12.92,
                         ((arr + 0.055) / 1.055) ** 2.4).astype(np.float32)
+    if p.lower().endswith(".pfm"):
+        img = read_pfm(p)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        return img
+    if p.lower().endswith(".hdr"):
+        return read_rgbe(p)
     raise ValueError(f"unsupported image format: {p}")
+
+
+def write_pfm(path, image):
+    """Portable Float Map writer (bitmap.cpp EPFM; mfilm.cpp dumps).
+
+    PFM stores rows bottom-up; header 'PF' = 3-channel color, 'Pf' = single
+    channel, scale line's sign encodes endianness (negative = little)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    hdr = b"PF\n" if img.shape[-1] == 3 else b"Pf\n"
+    if img.shape[-1] not in (1, 3):
+        raise ValueError("PFM supports 1 or 3 channels")
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.000000\n")  # little-endian
+        f.write(np.ascontiguousarray(img[::-1]).astype("<f4").tobytes())
+
+
+def read_pfm(path):
+    """PFM reader: returns float32 (H, W, C) top-down."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header: magic, dims, scale — whitespace-separated tokens
+    tokens, pos = [], 0
+    while len(tokens) < 4:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace after the scale line
+    magic, w, h, scale = tokens[0], int(tokens[1]), int(tokens[2]), float(tokens[3])
+    if magic not in (b"PF", b"Pf"):
+        raise ValueError("not a PFM file")
+    nch = 3 if magic == b"PF" else 1
+    dt = "<f4" if scale < 0 else ">f4"
+    img = np.frombuffer(data[pos:pos + w * h * nch * 4], dt).reshape(h, w, nch)
+    img = img[::-1].astype(np.float32)
+    if abs(scale) not in (0.0, 1.0):
+        img = img * abs(scale)
+    return img
+
+
+def write_rgbe(path, image):
+    """Radiance RGBE (.hdr) writer, flat (uncompressed) scanlines
+    (bitmap.cpp ERGBE; shared-exponent 8+8+8+8 encoding)."""
+    img = np.asarray(image, np.float32)
+    assert img.ndim == 3 and img.shape[-1] == 3
+    h, w = img.shape[:2]
+    m = np.max(img, axis=-1)
+    # frexp: m = f * 2**e with f in [0.5, 1)
+    f, e = np.frexp(np.maximum(m, 1e-32))
+    scale = f * 256.0 / np.maximum(m, 1e-32)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = (e + 128).astype(np.uint8)
+    rgbe[m < 1e-32] = 0
+    with open(path, "wb") as f_:
+        f_.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f_.write(f"-Y {h} +X {w}\n".encode())
+        f_.write(rgbe.tobytes())
+
+
+def read_rgbe(path):
+    """Radiance RGBE (.hdr) reader: flat and adaptive-RLE scanlines."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = data.index(b"\n\n") + 2 if b"\n\n" in data else data.index(b"\n") + 1
+    eol = data.index(b"\n", pos)
+    dims = data[pos:eol].split()
+    if dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError("unsupported RGBE orientation")
+    h, w = int(dims[1]), int(dims[3])
+    pos = eol + 1
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    for row in range(h):
+        if pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2 \
+                and (data[pos + 2] << 8 | data[pos + 3]) == w:
+            # adaptive RLE: four component planes, run/dump packets
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    cnt = data[pos]
+                    if cnt > 128:  # run
+                        rgbe[row, x:x + cnt - 128, c] = data[pos + 1]
+                        x += cnt - 128
+                        pos += 2
+                    else:  # dump
+                        rgbe[row, x:x + cnt, c] = np.frombuffer(
+                            data[pos + 1:pos + 1 + cnt], np.uint8)
+                        x += cnt
+                        pos += 1 + cnt
+        else:
+            rgbe[row] = np.frombuffer(
+                data[pos:pos + 4 * w], np.uint8).reshape(w, 4)
+            pos += 4 * w
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None]

@@ -77,3 +77,70 @@ class TestObj:
         )
         v, f = io.load_ply(p)
         assert v.shape == (3, 3) and f.shape == (1, 3)
+
+
+def test_pfm_roundtrip(tmp_path):
+    from mitsubaer_tpu.utils import io as mio
+
+    img = np.random.default_rng(3).uniform(0, 40, (7, 5, 3)).astype(np.float32)
+    p = tmp_path / "x.pfm"
+    mio.write_pfm(p, img)
+    back = mio.read_pfm(p)
+    np.testing.assert_array_equal(back, img)
+    np.testing.assert_array_equal(mio.read_image(p), img)
+
+
+def test_pfm_single_channel(tmp_path):
+    from mitsubaer_tpu.utils import io as mio
+
+    img = np.random.default_rng(4).uniform(0, 2, (4, 6)).astype(np.float32)
+    p = tmp_path / "g.pfm"
+    mio.write_pfm(p, img)
+    back = mio.read_pfm(p)
+    np.testing.assert_array_equal(back[..., 0], img)
+
+
+def test_rgbe_roundtrip(tmp_path):
+    from mitsubaer_tpu.utils import io as mio
+
+    rng = np.random.default_rng(5)
+    # wide dynamic range incl. zeros
+    img = (rng.uniform(0, 1, (9, 11, 3)) ** 4 * 1e3).astype(np.float32)
+    img[0, 0] = 0.0
+    p = tmp_path / "x.hdr"
+    mio.write_rgbe(p, img)
+    back = mio.read_rgbe(p)
+    # shared-exponent quantization: the step is ~1/256 of the per-pixel MAX
+    # channel, so small channels carry absolute error proportional to it
+    step = np.max(img, axis=-1, keepdims=True) / 256.0
+    assert np.all(np.abs(back - img) <= 0.02 * img + 1.5 * step + 1e-6)
+    assert np.all(back[0, 0] == 0.0)
+
+
+def test_rgbe_rle_decode(tmp_path):
+    """Adaptive-RLE scanlines (the common Radiance encoding) decode: build
+    a synthetic RLE file for a constant row + a varying row."""
+    from mitsubaer_tpu.utils import io as mio
+
+    w = 12
+    row_const = np.tile(np.array([64, 128, 32, 130], np.uint8), (w, 1))
+    rng = np.random.default_rng(6)
+    row_var = rng.integers(1, 255, (w, 4)).astype(np.uint8)
+    row_var[:, 3] = 129
+    with open(tmp_path / "r.hdr", "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y 2 +X {w}\n".encode())
+        # row 0: RLE, each plane one run packet
+        f.write(bytes([2, 2, 0, w]))
+        for c in range(4):
+            f.write(bytes([128 + w, int(row_const[0, c])]))
+        # row 1: RLE, each plane one dump packet
+        f.write(bytes([2, 2, 0, w]))
+        for c in range(4):
+            f.write(bytes([w]) + row_var[:, c].tobytes())
+    img = mio.read_rgbe(tmp_path / "r.hdr")
+    assert img.shape == (2, w, 3)
+    expect0 = (row_const[:, :3].astype(np.float32) + 0.5) * 2.0 ** (130 - 136)
+    np.testing.assert_allclose(img[0], expect0)
+    expect1 = (row_var[:, :3].astype(np.float32) + 0.5) * 2.0 ** (129 - 136)
+    np.testing.assert_allclose(img[1], expect1)
