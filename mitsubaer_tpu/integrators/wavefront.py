@@ -608,9 +608,22 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                              p=sh_o, ng=sh_d, uv=jnp.zeros((n, 2)),
                              tex_uv=jnp.zeros((n, 2)))
         else:
-            shit = isect.intersect(scene.geo, sh_o, sh_d,
-                                   jnp.full((n,), eps * 0.5),
-                                   jnp.maximum(sh_remaining - eps, 0.0))
+            # the full-width intersect is ~40% of a transition pass; in
+            # passes where no lane requested a shadow re-intersect (e.g.
+            # in-medium beam NEE never crosses the null wall) skip it with
+            # a runtime cond — all consumers of `shit` are masked by shx.
+            def _do_shisect(_):
+                return isect.intersect(scene.geo, sh_o, sh_d,
+                                       jnp.full((n,), eps * 0.5),
+                                       jnp.maximum(sh_remaining - eps, 0.0))
+
+            def _no_shisect(_):
+                return isect.Hit(t=f0, valid=b0, prim=i0, shape_id=i0 - 1,
+                                 p=f3, ng=f3, uv=jnp.zeros((n, 2)),
+                                 tex_uv=jnp.zeros((n, 2)))
+
+            shit = jax.lax.cond(jnp.any(shx), _do_shisect, _no_shisect,
+                                operand=None)
         sb_idx, _, sm_in, sm_ex = _shape_tables(scene, shit.shape_id)
         s_null = _is_null_surface(scene, sb_idx)
         blocked = shx & shit.valid & ~s_null
