@@ -252,6 +252,12 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = ptracer_m.render_ptracer(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "vpl":
+        from . import vpl as vpl_m
+
+        with stats.timed("render.wall"):
+            img = vpl_m.render_vpl(scene, cfg, seed=seed)
+        return img
     if cfg.integrator == "bdpt":
         from . import bdpt as bdpt_m
 
