@@ -61,7 +61,7 @@ def trace_photons(scene: Scene, cfg: RenderConfig, n_photons: int, seed,
     act = cfg.bsdf_kinds or None
     smp = rng.make_sampler(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x9407),
                            jnp.arange(n, dtype=jnp.uint32), pass_idx)
-    o, d, tp, med, n_e, is_area_e, smp = _sample_emitter_ray(scene, smp)
+    o, d, tp, med, n_e, is_area_e, smp, _, _ = _sample_emitter_ray(scene, smp)
     alive = jnp.any(tp > 0, axis=-1)
 
     max_bounce = min(cfg.max_depth, 8)

@@ -147,7 +147,7 @@ def _sample_emitter_ray(scene: Scene, smp):
                          -1)
     med = jnp.where(is_area, med_area,
                     jnp.broadcast_to(scene.camera_medium, (n,)).astype(jnp.int32))
-    return o, d, w, med, n_area, is_area, smp
+    return o, d, w, med, n_area, is_area, smp, e_idx, kind
 
 
 def trace_particles(scene: Scene, cfg: RenderConfig, n_particles: int, seed,
@@ -165,7 +165,7 @@ def trace_particles(scene: Scene, cfg: RenderConfig, n_particles: int, seed,
     lane = jnp.arange(n_particles, dtype=jnp.uint32)
     smp = rng.make_sampler(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x97AC),
                            lane, pass_idx)
-    o, d, tp, med, n_e, is_area_e, smp = _sample_emitter_ray(scene, smp)
+    o, d, tp, med, n_e, is_area_e, smp, _, _ = _sample_emitter_ray(scene, smp)
     n = n_particles
     film = jnp.zeros((H * W, 3), jnp.float32)
     alive = jnp.any(tp > 0, axis=-1)

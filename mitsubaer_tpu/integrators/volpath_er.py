@@ -466,7 +466,7 @@ def trace_er_particles(scene: Scene, cfg: RenderConfig, n_particles: int,
     lane = jnp.arange(n, dtype=jnp.uint32)
     smp = rng.make_sampler(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xE51),
                            lane, pass_idx)
-    o, d, tp, _med, _ne, _ia, smp = ptracer_m._sample_emitter_ray(scene, smp)
+    o, d, tp, _med, _ne, _ia, smp, _, _ = ptracer_m._sample_emitter_ray(scene, smp)
     film = jnp.zeros((H * W, 3), jnp.float32)
 
     inside = jnp.zeros((n,), bool)

@@ -18,6 +18,8 @@ Radiometry (all evals include their cosine, Mitsuba convention):
   L(x->cam) = f_x(wi_cam, w_xy) * k_y(w_yx) * V(x,y) * Phi_y / max(d^2, c^2)
   k_y = cos_y/pi            for area-emission VPLs   (Phi = L*pi*A/pdf)
       = 1/(4*pi)            for point-emission VPLs  (Phi = I*4*pi)
+      = falloff(w_yx)       for spot-emission VPLs   (Phi = I, falloff from
+                            the stored emitter id, spot.cpp falloffCurve)
       = f_y(wi_y, w_yx)     for surface-bounce VPLs  (Phi = path throughput)
 Directional/constant/envmap emission vertices are direction-delta and are
 skipped as VPLs (their bounce vertices still contribute); scenes lit only
@@ -38,9 +40,14 @@ from ..scene import intersect as isect
 from ..scene.types import EM_AREA, EM_POINT, EM_SPOT, RenderConfig, Scene
 from . import common
 from .ptracer import _sample_emitter_ray
-from .volpath import _is_null_surface, _shape_tables, attenuated_visibility
+from .volpath import (
+    _is_null_surface,
+    _shape_tables,
+    attenuated_visibility,
+    segment_transmittance,
+)
 
-K_AREA, K_POINT, K_SURFACE = 0, 1, 2
+K_AREA, K_POINT, K_SURFACE, K_SPOT = 0, 1, 2, 3
 
 
 def generate_vpls(scene: Scene, cfg: RenderConfig, n_paths: int, seed,
@@ -52,44 +59,55 @@ def generate_vpls(scene: Scene, cfg: RenderConfig, n_paths: int, seed,
     lane = jnp.arange(n_paths, dtype=jnp.uint32)
     smp = rng.make_sampler(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x1D5),
                            lane, jnp.zeros((n_paths,), jnp.uint32))
-    o, d, w, med, n_e, is_area_e, smp = _sample_emitter_ray(scene, smp)
-    em_kind = None  # recover the per-lane emitter kind from the flux shape
-    # emission VPLs: area (cos/pi kernel) and point (isotropic kernel)
-    # only; everything else is direction-delta at its origin.
-    # _sample_emitter_ray does not return the picked kind, so re-derive the
-    # point-like test from the scene: a single-kind emitter table is the
-    # common case; otherwise classify by is_area_e and position match.
-    kinds = scene.emitters.kind
-    only = int(kinds.shape[0]) == 1
-    if only:
-        k0 = int(kinds[0])
-        is_point_e = jnp.full((n_paths,), k0 == EM_POINT)
-        emit_ok = is_area_e | is_point_e
-    else:
-        # conservative: area vertices always usable; point-lights usable
-        # when every non-area emitter in the scene is a point light
-        import numpy as _np
+    o, d, w, med, n_e, is_area_e, smp, em_idx, em_kind = \
+        _sample_emitter_ray(scene, smp)
+    bricks = medium_m.DensityBricks(scene.media)
+    # emission VPLs: area (cos/pi kernel), point (isotropic kernel) and spot
+    # (falloff kernel evaluated at shading time from the stored emitter id —
+    # the reference's generateVPLs stores an EPointEmitterVPL for spots too,
+    # librender/vpl.cpp:116). Directional/constant/envmap emission vertices
+    # are direction-delta and are skipped (their bounce vertices still
+    # contribute).
+    is_spot_e = em_kind == EM_SPOT
+    is_point_e = em_kind == EM_POINT
+    emit_ok = is_area_e | is_point_e | is_spot_e
+    # spot VPL flux is the bare intensity: the falloff kernel supplies the
+    # directional dependence deterministically (w is falloff(d)*omega_cone
+    # weighted for the *walk*, wrong as a VPL flux)
+    from ..core import smalltab
 
-        all_point = bool(_np.all((_np.asarray(kinds) == EM_AREA)
-                                 | (_np.asarray(kinds) == EM_POINT)))
-        is_point_e = (~is_area_e) & all_point
-        emit_ok = is_area_e | is_point_e
+    I_spot = smalltab.take(scene.emitters.radiance, em_idx)
+    w_emit = jnp.where(is_spot_e[..., None], I_spot, w)
 
-    vp, vn, vwi, vflux, vbsdf, vkern = [], [], [], [], [], []
+    vp, vn, vwi, vflux, vbsdf, vkern, vem = [], [], [], [], [], [], []
     vp.append(o)
     vn.append(n_e)
     vwi.append(d)                     # unused for emission kernels
-    vflux.append(jnp.where(emit_ok[..., None], w, 0.0))
+    vflux.append(jnp.where(emit_ok[..., None], w_emit, 0.0))
     vbsdf.append(jnp.full((n_paths,), -1, jnp.int32))
-    vkern.append(jnp.where(is_area_e, K_AREA, K_POINT).astype(jnp.int32))
+    vkern.append(jnp.where(is_area_e, K_AREA,
+                           jnp.where(is_spot_e, K_SPOT, K_POINT))
+                 .astype(jnp.int32))
+    vem.append(em_idx.astype(jnp.int32))
 
     tp = w
     alive = jnp.any(tp > 0, axis=-1)
+    # media-aware walk: each iteration consumes one surface event — a real
+    # scatter stores a VPL and samples the BSDF; a null (medium-boundary)
+    # crossing passes straight through with the medium switched. Segment
+    # transmittance attenuates tp either way (vpl.cpp's walk runs inside
+    # evalTransmittance-attenuated space).
     for _b in range(max_bounce):
         hit = isect.intersect(scene.geo, o, d, jnp.full((n_paths,), eps),
                               jnp.full((n_paths,), isect.INF))
+        seg = jnp.where(hit.valid, hit.t, 0.0)
+        tr_seg, smp = segment_transmittance(scene, med, o, d, seg, smp,
+                                            alive & hit.valid, bricks=bricks)
+        tp = tp * jnp.where((alive & hit.valid)[..., None], tr_seg, 1.0)
         b_idx, e_idx, m_in, m_ex = _shape_tables(scene, hit.shape_id)
-        ok = alive & hit.valid & ~_is_null_surface(scene, b_idx)
+        is_null = _is_null_surface(scene, b_idx)
+        ok = alive & hit.valid & ~is_null & jnp.any(tp > 0, axis=-1)
+        crossing = alive & hit.valid & is_null
         frame = Frame.from_normal(hit.ng)
         wi_l = frame.to_local(-d)
         vp.append(hit.p)
@@ -98,20 +116,25 @@ def generate_vpls(scene: Scene, cfg: RenderConfig, n_paths: int, seed,
         vflux.append(jnp.where(ok[..., None], tp, 0.0))
         vbsdf.append(jnp.where(ok, b_idx, 0))
         vkern.append(jnp.full((n_paths,), K_SURFACE, jnp.int32))
-        # continue the walk
+        vem.append(jnp.full((n_paths,), -1, jnp.int32))
+        # continue the walk: BSDF sample on real surfaces, pass-through on
+        # null boundaries (direction unchanged, medium switched)
         u2, smp = rng.next_2d(smp)
         u1, smp = rng.next_1d(smp)
         bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_l, u2, u1, active=act)
-        tp = tp * jnp.where(ok[..., None], bs.weight, 0.0)
-        d = frame.to_world(bs.wo)
+        d_new = jnp.where(crossing[..., None], d, frame.to_world(bs.wo))
+        tp = tp * jnp.where(ok[..., None], bs.weight, 1.0)
+        entering = dot(d_new, hit.ng) < 0
+        med = jnp.where(crossing, jnp.where(entering, m_in, m_ex), med)
+        d = d_new
         o = hit.p + d * eps
-        alive = ok & jnp.any(tp > 0, axis=-1) & (bs.pdf > 0)
+        alive = (ok & (bs.pdf > 0) | crossing) & jnp.any(tp > 0, axis=-1)
 
     return dict(
         p=jnp.concatenate(vp), n=jnp.concatenate(vn),
         wi=jnp.concatenate(vwi), flux=jnp.concatenate(vflux),
         bsdf=jnp.concatenate(vbsdf), kern=jnp.concatenate(vkern),
-        n_paths=n_paths,
+        em=jnp.concatenate(vem), n_paths=n_paths,
     )
 
 
@@ -143,26 +166,49 @@ def render_vpl(scene: Scene, cfg: RenderConfig, seed: int = 0,
         px = (pixel % W).astype(jnp.float32) + u_jit[:, 0]
         py = (pixel // W).astype(jnp.float32) + u_jit[:, 1]
         rays = sensor_m.sample_rays(scene.sensor, px, py, W, H)
-        hit = isect.intersect(scene.geo, rays.o, rays.d,
-                              jnp.full((npix,), eps),
-                              jnp.full((npix,), isect.INF))
-        b_idx, e_idx, m_in, m_ex = _shape_tables(scene, hit.shape_id)
+        # primary walk: cross up to 3 null (medium-boundary) surfaces,
+        # tracking the medium and accumulating segment transmittance, so
+        # camera hits inside bounded media shade with the correct medium
+        # (in-scattering along the primary ray is not modelled — the
+        # standard VPL preview approximation)
+        med_x = jnp.broadcast_to(scene.camera_medium, (npix,)).astype(
+            jnp.int32)
+        o_c, d_c0 = rays.o, rays.d
+        tr0 = jnp.ones((npix, 3), jnp.float32)
+        walking = jnp.ones((npix,), bool)
+        smp_w = smp
+        for _c in range(3 + 1):
+            hit = isect.intersect(scene.geo, o_c, d_c0,
+                                  jnp.full((npix,), eps),
+                                  jnp.full((npix,), isect.INF))
+            seg = jnp.where(hit.valid, hit.t, 0.0)
+            tr_seg, smp_w = segment_transmittance(
+                scene, med_x, o_c, d_c0, seg, smp_w, walking & hit.valid,
+                bricks=bricks)
+            tr0 = tr0 * jnp.where((walking & hit.valid)[..., None],
+                                  tr_seg, 1.0)
+            b_idx, e_idx, m_in, m_ex = _shape_tables(scene, hit.shape_id)
+            is_null = _is_null_surface(scene, b_idx)
+            crossing = walking & hit.valid & is_null
+            entering = dot(rays.d, hit.ng) < 0
+            med_x = jnp.where(crossing,
+                              jnp.where(entering, m_in, m_ex), med_x)
+            o_c = jnp.where(crossing[..., None], hit.p + d_c0 * eps, o_c)
+            walking = crossing
+        smp = smp_w
         frame = Frame.from_normal(hit.ng)
         wi_l = frame.to_local(-rays.d)
         valid = hit.valid & ~_is_null_surface(scene, b_idx)
 
         # directly visible emitters (VPLs only carry reflected transport)
         le = emitter_m.eval_hit(scene, e_idx, hit.ng, -rays.d)
-        L0 = jnp.where((valid & (e_idx >= 0))[..., None], le, 0.0)
+        L0 = jnp.where((valid & (e_idx >= 0))[..., None], le * tr0, 0.0)
         env = emitter_m.env_radiance(scene, rays.d)
-        L0 = L0 + jnp.where(hit.valid[..., None], 0.0, env)
-
-        med_x = jnp.broadcast_to(scene.camera_medium, (npix,)).astype(
-            jnp.int32)
+        L0 = L0 + jnp.where(hit.valid[..., None], 0.0, env * tr0)
 
         def body(carry, v):
             L, smp = carry
-            yp, yn, ywi, yflux, ybsdf, ykern = v
+            yp, yn, ywi, yflux, ybsdf, ykern, yem = v
             to_y = yp[None, :] - hit.p
             d2 = jnp.sum(to_y * to_y, axis=-1)
             dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -179,11 +225,23 @@ def render_vpl(scene: Scene, cfg: RenderConfig, seed: int = 0,
                               active=act)
             k_area = (cos_y / jnp.pi)[..., None]
             k_point = jnp.full((npix, 1), 1.0 / (4.0 * jnp.pi))
+            # spot: falloff(w_yx) from the stored emitter id (spot.cpp
+            # falloffCurve); flux carries the bare intensity
+            em = scene.emitters
+            yem_c = jnp.clip(yem, 0, em.kind.shape[0] - 1)
+            sdir = em.direction[yem_c]
+            cutoff = em.cutoff_cos[yem_c]
+            beam_c = em.beam_falloff_cos[yem_c]
+            ct = jnp.sum(-w_xy * sdir[None, :], axis=-1)
+            k_spot = jnp.clip((ct - cutoff)
+                              / jnp.maximum(beam_c - cutoff, 1e-6),
+                              0.0, 1.0)[..., None]
             k = jnp.where(ykern == K_AREA, k_area,
-                          jnp.where(ykern == K_POINT, k_point, f_y))
+                          jnp.where(ykern == K_POINT, k_point,
+                                    jnp.where(ykern == K_SPOT, k_spot, f_y)))
             g = 1.0 / jnp.maximum(d2, c2)
             contrib = f_x * k * (jnp.broadcast_to(yflux, (npix, 3))
-                                 * (g * inv_paths)[..., None])
+                                 * (g * inv_paths)[..., None]) * tr0
             ok = (valid & jnp.any(contrib > 0, axis=-1)
                   & jnp.all(jnp.isfinite(contrib), axis=-1))
             tr, smp = attenuated_visibility(
@@ -195,7 +253,7 @@ def render_vpl(scene: Scene, cfg: RenderConfig, seed: int = 0,
         (L, _), _ = jax.lax.scan(
             body, (L0, smp),
             (vpls["p"], vpls["n"], vpls["wi"], vpls["flux"], vpls["bsdf"],
-             vpls["kern"]))
+             vpls["kern"], vpls["em"]))
         return L
 
     img = jnp.zeros((npix, 3), jnp.float32)

@@ -445,13 +445,18 @@ def read_pfm(path):
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
         tokens.append(data[start:pos])
-    pos += 1  # single whitespace after the scale line
     magic, w, h, scale = tokens[0], int(tokens[1]), int(tokens[2]), float(tokens[3])
     if magic not in (b"PF", b"Pf"):
         raise ValueError("not a PFM file")
     nch = 3 if magic == b"PF" else 1
     dt = "<f4" if scale < 0 else ">f4"
-    img = np.frombuffer(data[pos:pos + w * h * nch * 4], dt).reshape(h, w, nch)
+    # locate the raster from the end: files written with CRLF after the
+    # scale token would shift a "pos += 1" raster start by one byte
+    need = w * h * nch * 4
+    if len(data) - (pos + 1) < need:
+        raise ValueError("truncated PFM raster")
+    pos = len(data) - need
+    img = np.frombuffer(data[pos:pos + need], dt).reshape(h, w, nch)
     img = img[::-1].astype(np.float32)
     if abs(scale) not in (0.0, 1.0):
         img = img * abs(scale)
@@ -491,7 +496,10 @@ def read_rgbe(path):
     pos = eol + 1
     rgbe = np.zeros((h, w, 4), np.uint8)
     for row in range(h):
-        if pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2 \
+        # new-style RLE is only defined for 8 <= width < 32768; outside that
+        # range a flat scanline starting with (2,2,hi,lo) is unambiguous
+        if 8 <= w < 32768 and pos + 4 <= len(data) and data[pos] == 2 \
+                and data[pos + 1] == 2 \
                 and (data[pos + 2] << 8 | data[pos + 3]) == w:
             # adaptive RLE: four component planes, run/dump packets
             pos += 4
@@ -499,6 +507,8 @@ def read_rgbe(path):
                 x = 0
                 while x < w:
                     cnt = data[pos]
+                    if cnt in (0, 128):  # a zero-length packet never advances
+                        raise ValueError("corrupt RGBE RLE packet")
                     if cnt > 128:  # run
                         rgbe[row, x:x + cnt - 128, c] = data[pos + 1]
                         x += cnt - 128
