@@ -40,27 +40,46 @@ from ..core import rng, smalltab
 from ..core.math import Frame, dot, normalize
 from ..models import bsdf as bsdf_m
 from ..models import emitter as emitter_m
+from ..models import medium as medium_m
+from ..models import phase as phase_m
 from ..models import sensor as sensor_m
 from ..scene import intersect as isect
-from ..scene.types import EM_AREA, EM_POINT, RenderConfig, Scene
+from ..scene.types import (
+    EM_AREA,
+    EM_COLLIMATED,
+    EM_DIRECTIONAL,
+    EM_POINT,
+    MED_HETEROGENEOUS,
+    MED_HOMOGENEOUS,
+    RenderConfig,
+    Scene,
+)
 from . import common
+from .volpath import _is_null_surface, _shape_tables, attenuated_visibility
 
 
 class SubPath(NamedTuple):
-    """Stacked surface-vertex arrays; array index k = k-th SURFACE vertex of
-    the walk (pbrt vertex k+1)."""
+    """Stacked vertex arrays; array index k = k-th (surface OR medium)
+    vertex of the walk (pbrt vertex k+1). Medium vertices (vertex.cpp
+    EMediumInteraction, :250-256) carry is_med=True, their phase medium in
+    `med`, zero ng, and distance-sampling pdf factors for MIS."""
     p: jnp.ndarray        # (n, K, 3)
-    ng: jnp.ndarray       # (n, K, 3)
+    ng: jnp.ndarray       # (n, K, 3) geometric normal (zeros for medium)
     d_in: jnp.ndarray     # (n, K, 3) unit direction the walk ARRIVED along
     beta: jnp.ndarray     # (n, K, 3) cumulative weight up to this vertex
-    pdf_fwd: jnp.ndarray  # (n, K) area pdf of generating this vertex
-    pdf_rev: jnp.ndarray  # (n, K) area pdf of regenerating it backward
+    pdf_fwd: jnp.ndarray  # (n, K) generalized-measure pdf of generating it
+    pdf_rev: jnp.ndarray  # (n, K) pdf of regenerating it backward
     delta: jnp.ndarray    # (n, K) ARRIVED via a delta lobe
     spec: jnp.ndarray     # (n, K) vertex's own BSDF sampled a delta lobe
-    bsdf: jnp.ndarray     # (n, K) int32
+    bsdf: jnp.ndarray     # (n, K) int32 (-1 at medium vertices)
     emitter: jnp.ndarray  # (n, K) int32
     valid: jnp.ndarray    # (n, K)
     plen: jnp.ndarray     # (n, K) path length from the walk origin
+    is_med: jnp.ndarray   # (n, K) medium-interaction vertex
+    med: jnp.ndarray      # (n, K) int32 medium at the vertex (segment med)
+    shape: jnp.ndarray    # (n, K) int32 hit shape (-1 at medium vertices)
+    seg_psucc: jnp.ndarray  # (n, K) arrival-segment distance-pdf (scatter)
+    seg_pfail: jnp.ndarray  # (n, K) arrival-segment distance-pdf (pass)
 
 
 class LightStart(NamedTuple):
@@ -80,80 +99,185 @@ def _remap0(x):
     return jnp.where(x > 0, x, 1.0)
 
 
-def _to_area(pdf_dir, p_from, p_to, ng_to):
+def _to_area(pdf_dir, p_from, p_to, ng_to, is_med_to=None):
+    """Solid-angle -> generalized area/volume measure: x|cos|/d^2 onto a
+    surface, x1/d^2 into a medium (vertex.cpp:1339 pdf conversion)."""
     dvec = p_to - p_from
     d2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
     w = dvec / jnp.sqrt(d2)[..., None]
     cos_t = jnp.abs(dot(w, ng_to))
+    if is_med_to is not None:
+        cos_t = jnp.where(is_med_to, 1.0, cos_t)
     return pdf_dir * cos_t / d2
 
 
-def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
-                  smp, K: int, eps):
-    """Walk K surface vertices from ray (o0, d0) started at origin_p.
+def _seg_pdf_factors(scene, med_seg, dist):
+    """Distance-sampling pdf factors of a segment of length `dist` inside
+    medium `med_seg` under the balance strategy (homogeneous.cpp:275-350):
+    (pdf of scattering AT dist [per length], pdf of passing THROUGH).
+    Vacuum -> (1, 1). Heterogeneous -> (1, 1): an approximate-but-
+    deterministic pdf model; MIS weights stay a partition of unity (every
+    strategy in one evaluation uses the same model), so the estimator is
+    unbiased with suboptimal weights — the reference instead evaluates
+    quadrature pdfs (heterogeneous.cpp integrateDensity)."""
+    kind, sa, ss, sw, _ = medium_m.params(scene.media, med_seg)
+    stc = sa + ss
+    tmp = jnp.exp(-stc * dist[..., None])
+    hom = kind == MED_HOMOGENEOUS
+    pdf_succ = jnp.where(hom, sw * jnp.mean(stc * tmp, -1), 1.0)
+    pdf_fail = jnp.where(hom, (1.0 - sw) + sw * jnp.mean(tmp, -1), 1.0)
+    return pdf_succ, pdf_fail
 
-    pdf0_dir: solid-angle pdf of d0 (-> pdf_fwd of array vertex 0 in area
-    measure). origin_ng: normal at the origin (light emission) or zeros
-    (camera pinhole) for the origin's reverse-pdf conversion."""
+
+def _conn_medium(scene, is_med_v, med_v, shape_v, ng_v, wconn):
+    """Medium along a connection leaving a vertex toward wconn: the vertex's
+    own medium at medium vertices, the shape's interior/exterior by the
+    crossing side at surface vertices (edge.cpp medium-consistency logic)."""
+    _, _, m_in, m_ex = _shape_tables(scene, shape_v)
+    entering = dot(wconn, ng_v) < 0
+    srf_med = jnp.where(entering, m_in, m_ex)
+    return jnp.where(is_med_v, med_v, srf_med)
+
+
+def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
+                  smp, K: int, eps, med0=None, any_het: bool = False):
+    """Walk K vertices (surface + medium interactions) from ray (o0, d0).
+
+    Each step: intersect, sample a medium distance in the current medium
+    (homogeneous analytic; heterogeneous Woodcock when any_het), then
+    either record a MEDIUM vertex (phase sampling continues the walk,
+    vertex.cpp:250-256) or a SURFACE vertex (BSDF sampling; null boundaries
+    pass through and switch the tracked medium). pdf0_dir: solid-angle pdf
+    of d0 (-> pdf_fwd of array vertex 0 in generalized measure).
+    origin_ng: normal at the origin for the origin's reverse-pdf
+    conversion. Stored seg_psucc/seg_pfail are the arrival segment's
+    distance-pdf factors (used by MIS junction recomputes)."""
     n = o0.shape[0]
     act = cfg.bsdf_kinds or None
+    pact = cfg.phase_kinds or None
+    media = scene.media
+    if med0 is None:
+        med0 = jnp.broadcast_to(scene.camera_medium, (n,)).astype(jnp.int32)
 
     def body(carry, _):
-        o, d, beta, pdf_dir, alive, plen, prev_delta, smp = carry
+        o, d, beta, pdf_dir, alive, plen, prev_delta, med, smp = carry
         hit = isect.intersect(scene.geo, o, d, jnp.full((n,), eps),
                               jnp.full((n,), isect.INF))
-        valid = alive & hit.valid
+        t_surf = jnp.where(hit.valid, hit.t, jnp.float32(3e37))
+        kind, sa, ss, sw, scale = medium_m.params(media, med)
+        u_h, smp = rng.next_1d(smp)
+        uc_h, smp = rng.next_1d(smp)
+        hs, ht, hw, _ = medium_m.sample_distance_homogeneous(
+            sa, ss, sw, t_surf, u_h, uc_h)
+        hom = kind == MED_HOMOGENEOUS
+        if any_het:
+            het = kind == MED_HETEROGENEOUS
+            bricks = medium_m.DensityBricks(media)
+            ws, wt, ww, _, smp, _ = medium_m.sample_distance_woodcock(
+                media, sa, ss, scale, o, d, t_surf, smp, alive & het,
+                bricks=bricks)
+            hs = jnp.where(het, ws, hs)
+            ht = jnp.where(het, wt, ht)
+            hw = jnp.where(het[..., None], ww, hw)
+            in_medium = hom | het
+        else:
+            in_medium = hom
+        scat = alive & in_medium & hs
+        dist_w = jnp.where(in_medium[..., None], hw, 1.0)
+
+        valid_srf = alive & hit.valid & ~scat
+        valid = scat | valid_srf
+        t_v = jnp.where(scat, ht, t_surf)
+        p_v = jnp.where(scat[..., None], o + t_v[..., None] * d, hit.p)
+        ng_v = jnp.where(scat[..., None], 0.0, hit.ng)
+        plen_here = plen + jnp.where(valid, t_v, 0.0)
+
+        # arrival-segment distance-pdf factors (balance strategy; exact for
+        # homogeneous, 1 otherwise — see _seg_pdf_factors)
+        stc = sa + ss
+        tmp = jnp.exp(-stc * t_v[..., None])
+        seg_psucc = jnp.where(hom, sw * jnp.mean(stc * tmp, -1), 1.0)
+        seg_pfail = jnp.where(hom, (1.0 - sw) + sw * jnp.mean(tmp, -1), 1.0)
+
+        pdf_fwd = _to_area(pdf_dir, o, p_v, ng_v, is_med_to=scat) \
+            * jnp.where(scat, seg_psucc, seg_pfail)
+
         sid = jnp.clip(hit.shape_id, 0, scene.shapes.bsdf.shape[0] - 1)
-        b_idx = jnp.where(valid, smalltab.take(scene.shapes.bsdf, sid), -1)
-        e_idx = jnp.where(valid, smalltab.take(scene.shapes.emitter, sid), -1)
-        pdf_fwd_area = _to_area(pdf_dir, o, hit.p, hit.ng)
-        plen_here = plen + jnp.where(valid, hit.t, 0.0)
+        b_idx = jnp.where(valid_srf, smalltab.take(scene.shapes.bsdf, sid),
+                          -1)
+        e_idx = jnp.where(valid_srf,
+                          smalltab.take(scene.shapes.emitter, sid), -1)
+        _, _, m_in, m_ex = _shape_tables(scene, hit.shape_id)
 
         frame = Frame.from_normal(hit.ng)
         wi_l = frame.to_local(-d)
         u2, smp = rng.next_2d(smp)
         u1, smp = rng.next_1d(smp)
         bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_l, u2, u1, active=act)
-        wo_w = frame.to_world(bs.wo)
+        ps = phase_m.sample(media.phase, med, d, u2, active=pact)
+        wo_w = jnp.where(scat[..., None], ps.wo, frame.to_world(bs.wo))
         # density of regenerating the INCOMING direction from the sampled
         # outgoing one (reverse walk), used for the predecessor's pdf_rev
-        pdf_rev_dir = bsdf_m.pdf(scene.bsdfs, b_idx, bs.wo, wi_l, active=act)
-        beta_next = beta * bs.weight
-        cont = valid & (b_idx >= 0) & jnp.any(bs.weight > 0, axis=-1)
+        pdf_rev_bs = bsdf_m.pdf(scene.bsdfs, b_idx, bs.wo, wi_l, active=act)
+        pdf_rev_ph = phase_m.eval(media.phase, med, -ps.wo, -d, active=pact)
+        pdf_rev_dir = jnp.where(scat, pdf_rev_ph, pdf_rev_bs)
+        step_w = jnp.where(scat[..., None], ps.weight[..., None], bs.weight)
+        beta_here = beta * dist_w
+        beta_next = beta_here * step_w
+        spec = jnp.where(scat, False, bs.delta)
+        pdf_next = jnp.where(scat, ps.pdf, bs.pdf)
+        cont = valid & (scat | (b_idx >= 0)) \
+            & jnp.any(step_w > 0, axis=-1)
 
-        vert = dict(p=hit.p, ng=hit.ng, d_in=d, beta=beta,
-                    pdf_fwd=jnp.where(valid, pdf_fwd_area, 0.0),
+        # medium transition at surface crossings (incl. null passthrough)
+        crossed = valid_srf & (dot(wo_w, hit.ng) * dot(-d, hit.ng) < 0)
+        entering = dot(wo_w, hit.ng) < 0
+        med_next = jnp.where(crossed, jnp.where(entering, m_in, m_ex), med)
+
+        vert = dict(p=p_v, ng=ng_v, d_in=d, beta=beta_here,
+                    pdf_fwd=jnp.where(valid, pdf_fwd, 0.0),
                     pdf_rev_dir=jnp.where(valid, pdf_rev_dir, 0.0),
-                    prev_p=o - d * eps,  # un-offset origin (approx)
-                    delta=prev_delta, spec=bs.delta,
-                    bsdf=b_idx, emitter=e_idx, valid=valid, plen=plen_here)
-        o2 = hit.p + wo_w * eps
-        return (o2, wo_w, beta_next, bs.pdf, cont, plen_here, bs.delta,
-                smp), vert
+                    delta=prev_delta, spec=spec,
+                    bsdf=b_idx, emitter=e_idx, valid=valid, plen=plen_here,
+                    is_med=scat, med=jnp.where(scat, med, med_next),
+                    shape=jnp.where(valid_srf, hit.shape_id, -1),
+                    seg_psucc=seg_psucc, seg_pfail=seg_pfail)
+        o2 = p_v + wo_w * eps
+        return (o2, wo_w, beta_next, pdf_next, cont, plen_here, spec,
+                med_next, smp), vert
 
     init = (o0, d0, beta1, pdf0_dir, jnp.ones((n,), bool),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), bool), smp)
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), bool), med0, smp)
     carry, verts = jax.lax.scan(body, init, None, length=K)
     smp = carry[-1]
     tr = lambda a: jnp.moveaxis(a, 0, 1)
     p = tr(verts["p"])
     ng = tr(verts["ng"])
+    is_med = tr(verts["is_med"])
+    seg_psucc = tr(verts["seg_psucc"])
+    seg_pfail = tr(verts["seg_pfail"])
     pdf_rev_dir = tr(verts["pdf_rev_dir"])
-    # pdf_rev[k] = area pdf of vertex k as re-generated from vertex k+1:
-    # the walk computed the reverse DIRECTION pdf at k+1; convert at k.
+    # pdf_rev[k] = pdf of vertex k as re-generated from vertex k+1: the
+    # walk computed the reverse DIRECTION pdf at k+1; convert at k and
+    # apply the shared segment's distance-pdf factor (symmetric for
+    # homogeneous media).
     pdf_rev = jnp.zeros((n, K))
     if K > 1:
-        rev_area = _to_area(pdf_rev_dir[:, 1:],
-                            p[:, 1:], p[:, :-1], ng[:, :-1])
+        rev_area = _to_area(pdf_rev_dir[:, 1:], p[:, 1:], p[:, :-1],
+                            ng[:, :-1], is_med_to=is_med[:, :-1]) \
+            * jnp.where(is_med[:, :-1], seg_psucc[:, 1:], seg_pfail[:, 1:])
         pdf_rev = pdf_rev.at[:, :-1].set(rev_area)
     # reverse pdf ONTO the walk origin (light y_0) from array vertex 0
-    rev_to_origin = _to_area(pdf_rev_dir[:, 0], p[:, 0], origin_p, origin_ng)
+    rev_to_origin = _to_area(pdf_rev_dir[:, 0], p[:, 0], origin_p,
+                             origin_ng) * seg_pfail[:, 0]
     sub = SubPath(
         p=p, ng=ng, d_in=tr(verts["d_in"]), beta=tr(verts["beta"]),
         pdf_fwd=tr(verts["pdf_fwd"]), pdf_rev=pdf_rev,
         delta=tr(verts["delta"]), spec=tr(verts["spec"]),
         bsdf=tr(verts["bsdf"]), emitter=tr(verts["emitter"]),
         valid=tr(verts["valid"]), plen=tr(verts["plen"]),
+        is_med=is_med, med=tr(verts["med"]), shape=tr(verts["shape"]),
+        seg_psucc=seg_psucc, seg_pfail=seg_pfail,
     )
     return sub, rev_to_origin, smp
 
@@ -181,13 +305,25 @@ def _sample_light_vertex(scene, smp):
     d_sph = warp.square_to_uniform_sphere(u_dir)
 
     is_area = kind == EM_AREA
+    # collimated beams / directional emitters: position- AND direction-delta
+    # starts. The bundled volumetric/ToF scenes are beam-lit
+    # (collimated.cpp:25); convention: pdf_pos = 1/ne, pdf_dir = 1 with
+    # delta_pos=True — every MIS term that would sample or connect through
+    # the delta is already gated on delta_pos (see _mis_weight), so the
+    # placeholder pdf values never reach an un-gated term.
+    is_coll = kind == EM_COLLIMATED
+    is_dir = kind == EM_DIRECTIONAL
+    edir = smalltab.take(em.direction, e_idx)
     p0 = jnp.where(is_area[..., None], p_area, pos)
     ng0 = jnp.where(is_area[..., None], n_area, d_sph)
+    ng0 = jnp.where((is_coll | is_dir)[..., None], edir, ng0)
     d0 = jnp.where(is_area[..., None], d_cos, d_sph)
+    d0 = jnp.where((is_coll | is_dir)[..., None], edir, d0)
     cos0 = jnp.maximum(dot(d0, n_area), 1e-8)
     pdf_pos = jnp.where(is_area, pdf_area, 1.0) / ne
     pdf_dir = jnp.where(is_area, cos0 / jnp.pi,
                         warp.square_to_uniform_sphere_pdf())
+    pdf_dir = jnp.where(is_coll | is_dir, 1.0, pdf_dir)
     beta1 = jnp.where(
         is_area[..., None],
         radiance * (cos0 / jnp.maximum(pdf_pos * pdf_dir, 1e-12))[..., None],
@@ -196,22 +332,37 @@ def _sample_light_vertex(scene, smp):
         p=p0, ng=ng0, beta1=beta1,
         inv_pdf_pos=1.0 / jnp.maximum(pdf_pos, 1e-12), pdf_pos=pdf_pos,
         pdf_dir=pdf_dir, radiance=radiance, is_area=is_area,
-        delta_pos=kind == EM_POINT, emitter=e_idx,
+        delta_pos=(kind == EM_POINT) | is_coll | is_dir, emitter=e_idx,
     ), d0, smp
 
 
 def _bsdf_pdf_at(scene, cfg, sub, k, wi_w, wo_w):
+    """Scattering pdf at vertex k for wi_w -> wo_w (both pointing AWAY from
+    the vertex): BSDF pdf at surfaces, phase pdf (= value) at medium
+    vertices (vertex.cpp medium branch)."""
     act = cfg.bsdf_kinds or None
+    pact = cfg.phase_kinds or None
     frame = Frame.from_normal(sub.ng[:, k])
-    return bsdf_m.pdf(scene.bsdfs, sub.bsdf[:, k], frame.to_local(wi_w),
-                      frame.to_local(wo_w), active=act)
+    p_srf = bsdf_m.pdf(scene.bsdfs, sub.bsdf[:, k], frame.to_local(wi_w),
+                       frame.to_local(wo_w), active=act)
+    p_med = phase_m.eval(scene.media.phase, sub.med[:, k], -wi_w, wo_w,
+                         active=pact)
+    return jnp.where(sub.is_med[:, k], p_med, p_srf)
 
 
 def _bsdf_f_at(scene, cfg, sub, k, wi_w, wo_w):
+    """Vertex throughput f for wi_w -> wo_w: BSDF eval (carries |cos wo|)
+    at surfaces, phase value at medium vertices (the medium vertex's
+    sigma_s is already folded into beta by the distance-sampling weight,
+    so f is the bare phase function — vertex.cpp:250-256)."""
     act = cfg.bsdf_kinds or None
+    pact = cfg.phase_kinds or None
     frame = Frame.from_normal(sub.ng[:, k])
-    return bsdf_m.eval(scene.bsdfs, sub.bsdf[:, k], frame.to_local(wi_w),
-                       frame.to_local(wo_w), active=act)
+    f_srf = bsdf_m.eval(scene.bsdfs, sub.bsdf[:, k], frame.to_local(wi_w),
+                        frame.to_local(wo_w), active=act)
+    f_med = phase_m.eval(scene.media.phase, sub.med[:, k], -wi_w, wo_w,
+                         active=pact)[..., None]
+    return jnp.where(sub.is_med[:, k][..., None], f_med, f_srf)
 
 
 def _mis_weight(scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
@@ -298,10 +449,16 @@ def render_bdpt(scene: Scene, cfg: RenderConfig, seed: int = 0,
     T_MAX = t_max or min(cfg.max_depth, 8)     # camera surface vertices
     S_MAX = s_max or min(cfg.max_depth, 8)     # light vertices incl y_0
 
+    import numpy as np
+
+    from ..scene.types import MED_HETEROGENEOUS as _MH
+
+    any_het = bool(np.any(np.asarray(scene.media.kind) == _MH))
+
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def one_pass(scene, eye_img, splat_img, cfg, seed, pass_idx):
         return _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX,
-                          seed, pass_idx)
+                          seed, pass_idx, any_het=any_het)
 
     nF = cfg.n_frames
     eye = jnp.zeros((npix, 3 * nF), jnp.float32)
@@ -343,13 +500,15 @@ def _nomis():
     return bool(os.environ.get("BDPT_NOMIS"))
 
 
-def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
+def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
+               any_het=False):
     H, W = cfg.height, cfg.width
     npix = H * W
     n = npix
     eps = common.scene_epsilon(scene)
     cam_p = scene.sensor.to_world[:3, 3]
     act = cfg.bsdf_kinds or None
+    bricks = medium_m.DensityBricks(scene.media)
     mod_w = None
     if cfg.modulation != "none":
         from ..models import tof as tof_m
@@ -370,13 +529,22 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
     pdf_cam_dir = fs0.inv_pixel_omega
     cam, _, smp = _surface_walk(
         scene, cfg, rays.o, rays.d, jnp.ones((n, 3)), pdf_cam_dir,
-        rays.o, jnp.zeros((n, 3)), smp, T_MAX, eps)
+        rays.o, jnp.zeros((n, 3)), smp, T_MAX, eps, any_het=any_het)
 
     # ---------------- light subpath ----------------
     light0, d0, smp = _sample_light_vertex(scene, smp)
+    # emission-side medium: area emitters start in the shape's exterior,
+    # point-likes in the scene-global camera medium (ptracer convention)
+    em = scene.emitters
+    se = smalltab.take(em.shape_id, light0.emitter)
+    se_c = jnp.clip(se, 0, scene.shapes.exterior.shape[0] - 1)
+    med_l0 = jnp.where(
+        se >= 0, smalltab.take(scene.shapes.exterior, se_c),
+        jnp.broadcast_to(scene.camera_medium, (n,)).astype(jnp.int32))
     lt, rev_lt_origin, smp = _surface_walk(
         scene, cfg, light0.p + d0 * eps, d0, light0.beta1, light0.pdf_dir,
-        light0.p, light0.ng, smp, max(S_MAX - 1, 1), eps)
+        light0.p, light0.ng, smp, max(S_MAX - 1, 1), eps, med0=med_l0,
+        any_het=any_het)
 
     F = jnp.zeros((n,), bool)
     ones = jnp.ones((n,))
@@ -408,8 +576,13 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
         cos_l = jnp.maximum(dot(normalize(prev_p - cam.p[:, k]),
                                 cam.ng[:, k]), 0.0)
         pdf_emit_dir = cos_l / jnp.pi
-        ov_cam2 = _to_area(pdf_emit_dir, cam.p[:, k], prev_p, prev_ng) \
-            if t >= 3 else ones
+        if t >= 3:
+            ov_cam2 = _to_area(pdf_emit_dir, cam.p[:, k], prev_p, prev_ng,
+                               is_med_to=cam.is_med[:, k - 1]) \
+                * jnp.where(cam.is_med[:, k - 1], cam.seg_psucc[:, k],
+                            cam.seg_pfail[:, k])
+        else:
+            ov_cam2 = ones
         w = ones if _nomis() else _mis_weight(
             scene, cam, lt, light0, 0, t, pdf_light_origin, ov_cam2, ones,
             ones, rev_lt_origin, npix)
@@ -457,6 +630,9 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
                     light0.radiance)  # point: intensity, no cos
                 beta_y = light0.inv_pdf_pos[..., None] * jnp.ones((n, 3))
                 G = jnp.where(light0.is_area, cos_y / d2, 1.0 / d2)
+                # delta-direction starts (collimated/directional) cannot be
+                # connected to — gated here AND by delta_pos in MIS
+                ok = ok & ~light0.delta_pos
             else:
                 f_y_over_cos = _bsdf_f_at(scene, cfg, lt, kl,
                                           -lt.d_in[:, kl], -wconn)
@@ -466,10 +642,17 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
                        * G[..., None])
             any_c = jnp.any(contrib > 0, -1)
             ok = ok & any_c
-            blocked = isect.occluded(
-                scene.geo, zp + wconn * eps, wconn,
-                jnp.full((n,), eps * 0.5), dist - 2 * eps)
-            ok = ok & ~blocked
+            # transmittance + occlusion across null boundaries
+            # (pathConnectAndCollapse / evalTransmittanceAll analogue)
+            conn_med = _conn_medium(scene, cam.is_med[:, kc],
+                                    cam.med[:, kc], cam.shape[:, kc],
+                                    cam.ng[:, kc], wconn)
+            tr_conn, smp = attenuated_visibility(
+                scene, eps, zp + wconn * eps, wconn, dist - 2 * eps,
+                conn_med, smp, ok, bricks=bricks)
+            contrib = contrib * tr_conn
+            ok = ok & jnp.any(tr_conn > 0, -1)
+            c_psucc, c_pfail = _seg_pdf_factors(scene, conn_med, dist)
 
             # ---- junction reverse pdfs ----
             # z_{t-1} from y_{s-1}
@@ -480,28 +663,40 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
             else:
                 pdf_y_dir = _bsdf_pdf_at(scene, cfg, lt, kl,
                                          -lt.d_in[:, kl], -wconn)
-            ov_cam = _to_area(pdf_y_dir, yp, zp, zng)
+            ov_cam = _to_area(pdf_y_dir, yp, zp, zng,
+                              is_med_to=cam.is_med[:, kc]) \
+                * jnp.where(cam.is_med[:, kc], c_psucc, c_pfail)
             # z_{t-2} from z_{t-1} (scattering backward given wconn in)
             pdf_z_back = _bsdf_pdf_at(scene, cfg, cam, kc, wconn,
                                       -cam.d_in[:, kc])
             if t >= 3:
                 ov_cam2 = _to_area(pdf_z_back, zp, cam.p[:, kc - 1],
-                                   cam.ng[:, kc - 1])
+                                   cam.ng[:, kc - 1],
+                                   is_med_to=cam.is_med[:, kc - 1]) \
+                    * jnp.where(cam.is_med[:, kc - 1],
+                                cam.seg_psucc[:, kc], cam.seg_pfail[:, kc])
             else:
                 ov_cam2 = ones
             # y_{s-1} from z_{t-1}
             pdf_z_dir = _bsdf_pdf_at(scene, cfg, cam, kc,
                                      -cam.d_in[:, kc], wconn)
-            ov_lt = _to_area(pdf_z_dir, zp, yp, yng)
+            y_is_med = lt.is_med[:, kl] if s >= 2 else F
+            ov_lt = _to_area(pdf_z_dir, zp, yp, yng, is_med_to=y_is_med) \
+                * jnp.where(y_is_med, c_psucc, c_pfail)
             # y_{s-2} from y_{s-1}
             if s >= 2:
                 if s == 2:
                     prev_lp, prev_lng = light0.p, light0.ng
+                    prev_l_med = F
                 else:
                     prev_lp, prev_lng = lt.p[:, kl - 1], lt.ng[:, kl - 1]
+                    prev_l_med = lt.is_med[:, kl - 1]
                 pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, -wconn,
-                                          -lt.d_in[:, kl]) if s >= 2 else ones
-                ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng)
+                                          -lt.d_in[:, kl])
+                ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng,
+                                  is_med_to=prev_l_med) \
+                    * jnp.where(prev_l_med, lt.seg_psucc[:, kl],
+                                lt.seg_pfail[:, kl])
             else:
                 ov_lt2 = ones
             w = ones if _nomis() else _mis_weight(
@@ -549,22 +744,34 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx):
         else:
             f_y = _bsdf_f_at(scene, cfg, lt, kl, -lt.d_in[:, kl], d_c)
             beta_y = lt.beta[:, kl]
-        blocked = isect.occluded(
-            scene.geo, yp + d_c * eps, d_c, jnp.full((n,), eps * 0.5),
-            dist - 2 * eps)
-        ok = ok & ~blocked
-        val = (beta_y * f_y
+        y_is_med = lt.is_med[:, kl] if s >= 2 else F
+        conn_med = _conn_medium(
+            scene, y_is_med,
+            lt.med[:, kl] if s >= 2 else jnp.zeros((n,), jnp.int32),
+            lt.shape[:, kl] if s >= 2 else jnp.full((n,), -1, jnp.int32),
+            yng, d_c)
+        tr_c, smp = attenuated_visibility(
+            scene, eps, yp + d_c * eps, d_c, dist - 2 * eps, conn_med, smp,
+            ok, bricks=bricks)
+        ok = ok & jnp.any(tr_c > 0, -1)
+        val = (beta_y * f_y * tr_c
                * (fs.inv_pixel_omega / d2)[..., None])
+        c_psucc, c_pfail = _seg_pdf_factors(scene, conn_med, dist)
         # junction pdfs: y_{s-1} regenerated from the camera
         pdf_cam_dir2 = fs.inv_pixel_omega
         ov_lt = _to_area(pdf_cam_dir2, jnp.broadcast_to(cam_p, (n, 3)),
-                         yp, yng)
+                         yp, yng, is_med_to=y_is_med) \
+            * jnp.where(y_is_med, c_psucc, c_pfail)
         if s >= 3:
             prev_lp, prev_lng = ((light0.p, light0.ng) if s == 3 else
                                  (lt.p[:, kl - 1], lt.ng[:, kl - 1]))
+            prev_l_med = (F if s == 3 else lt.is_med[:, kl - 1])
             pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, d_c,
                                       -lt.d_in[:, kl])
-            ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng)
+            ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng,
+                              is_med_to=prev_l_med) \
+                * jnp.where(prev_l_med, lt.seg_psucc[:, kl],
+                            lt.seg_pfail[:, kl])
         elif s == 2:
             # y_0 regenerated from y_1: the junction at y_{s-1}=y_1 changes
             # y_1's incoming to the camera direction; its backward pdf onto

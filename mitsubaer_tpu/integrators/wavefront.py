@@ -680,10 +680,15 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             pending=pending, track_work=track_work,
         )
 
+    macro = medium_m.MacroMajorant(media, m=cfg.wf_dda) \
+        if (cfg.wf_dda > 0 and any_het) else None
+
     # ------------------------------------------------------------------
     def tracking_iter(st: WFState, K: int = 1, compact: int = 0) -> WFState:
         if compact > 0:
             return tracking_compact(st, K, max(256, n // compact))
+        if macro is not None:
+            return tracking_dda(st, K)
         """K majorant jumps per lane in ONE pass: shadow ratio-tracking has
         priority, otherwise extension Woodcock.
 
@@ -772,6 +777,146 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
 
         n_taps = st.n_taps + jnp.sum(taps_used)
         # remaining work AFTER this pass (scalar for the loop cond)
+        track_work = jnp.any(
+            (st.sh_active & ~st.sh_need_isect & (sh_t < st.sh_seg))
+            | ext_tracking)
+
+        return st._replace(
+            ext_tracking=ext_tracking, ext_done=ext_done, ext_scat=ext_scat,
+            ext_t=ext_t, ext_w=ext_w, sh_tr=jnp.maximum(sh_tr, 0.0),
+            sh_t=sh_t, tap_ctr=tap_ctr, n_taps=n_taps,
+            track_work=track_work,
+        )
+
+    # ------------------------------------------------------------------
+    def tracking_dda(st: WFState, K: int) -> WFState:
+        """K tracking slots with a LOCAL (macro-cell) majorant.
+
+        Regular tracking with a spatially varying majorant: within a macro
+        cell of majorant m_c the jump is Exp(m_c); a jump that crosses the
+        cell-exit plane restarts at the boundary with the next cell's
+        majorant (memoryless — no weight), so low-density regions are
+        crossed in a few tap-free hops instead of many rejected taps. Each
+        slot spends up to H hop draws + one tentative collision; the K
+        tentative positions (density-independent, like the global-majorant
+        case) feed ONE batched brick gather, and accept/terminate decisions
+        resolve in registers. Reference context: heterogeneous.cpp:420
+        tracks against the single global maximum; the macro grid is the TPU
+        refinement (see medium_m.MacroMajorant)."""
+        H = cfg.wf_dda_hops
+        do_sh = st.sh_active & ~st.sh_need_isect & (st.sh_t < st.sh_seg)
+        do_ext = ~do_sh & st.ext_tracking
+        any_work = do_sh | do_ext
+
+        med = jnp.where(do_sh, st.sh_med, st.medium)
+        kind, sa, ss, _, scale = _medium_params(scene, med)
+        st_color = sa + ss
+        st_mean = jnp.mean(st_color, axis=-1)
+        st_max = jnp.max(st_color, axis=-1)
+
+        t_cur = jnp.where(do_sh, st.sh_t, st.ext_t)
+        o_cur = jnp.where(do_sh[..., None], st.sh_o, st.o)
+        d_cur = jnp.where(do_sh[..., None], st.sh_d, st.d)
+        t_lim = jnp.where(do_sh, st.sh_seg, st.t_far)
+
+        # --- slot loop: positions + per-slot majorants (registers only) ---
+        t0_ab, _ = isect.ray_aabb(o_cur, d_cur, macro.aabb_min,
+                                  macro.aabb_max)
+        sc_maj = jax.lax.stop_gradient(scale * st_max)
+        t_k = t_cur
+        draw = 0
+        tap_ts, tap_majs, tap_ok, after_ts = [], [], [], []
+        for k in range(K):
+            has_tap = jnp.zeros((n,), bool)
+            tap_t = t_cur
+            tap_maj = jnp.ones((n,), jnp.float32)
+            for h in range(H + 1):
+                u1 = _tap_uniform(seed, lane,
+                                  st.tap_ctr + jnp.uint32(draw))
+                draw += 1
+                pending = ~has_tap & (t_k < t_lim)
+                p_here = o_cur + t_k[..., None] * d_cur
+                majd, cell = macro.lookup(p_here)
+                inside = jnp.all((p_here >= macro.aabb_min)
+                                 & (p_here <= macro.aabb_max), axis=-1)
+                maj = jnp.maximum(jnp.where(inside, majd, 1e-7) * sc_maj,
+                                  1e-7)
+                tex = macro.t_exit(o_cur, d_cur, cell)
+                # outside the grid density is zero: hop to the (re-)entry
+                # point, or to the segment end if the ray has left for good
+                t_entry = jnp.where(t0_ab > t_k, t0_ab, t_lim)
+                tex = jnp.where(inside,
+                                jnp.maximum(tex, t_k * (1 + 1e-6) + 1e-6),
+                                t_entry)
+                dt = -jnp.log1p(-u1) / maj
+                t_new = t_k + dt
+                crosses = t_new > tex
+                is_tap = pending & ~crosses & (t_new < t_lim)
+                t_adv = jnp.where(crosses, jnp.minimum(tex, t_lim),
+                                  jnp.minimum(t_new, t_lim))
+                t_k = jnp.where(pending, t_adv, t_k)
+                tap_t = jnp.where(is_tap, t_new, tap_t)
+                tap_maj = jnp.where(is_tap, maj, tap_maj)
+                has_tap = has_tap | is_tap
+            tap_ts.append(tap_t)
+            tap_majs.append(tap_maj)
+            tap_ok.append(has_tap)
+            after_ts.append(t_k)
+
+        # --- ONE batched density gather over the K tentative positions ---
+        if K == 1:
+            dens_all = bricks.lookup(
+                o_cur + tap_ts[0][..., None] * d_cur)[None]
+        else:
+            p_all = (o_cur[None, :, :]
+                     + jnp.stack(tap_ts)[:, :, None] * d_cur[None, :, :])
+            dens_all = bricks.lookup(p_all.reshape(K * n, 3)).reshape(K, n)
+
+        # --- resolve K decisions sequentially (registers only) ---
+        ext_w = st.ext_w
+        sh_tr = st.sh_tr
+        ext_t = st.ext_t
+        sh_t = st.sh_t
+        ext_live = do_ext
+        sh_live = do_sh
+        resolved_hit = jnp.zeros((n,), bool)
+        taps_used = jnp.zeros((n,), jnp.uint32)
+        w_real = ss / jnp.maximum(st_mean, 1e-12)[..., None]
+        for k in range(K):
+            active_k = ext_live | sh_live
+            taps_used = taps_used + (active_k & tap_ok[k]).astype(jnp.uint32)
+            dens = dens_all[k] * scale
+            maj_k = tap_majs[k]
+            p_real = jnp.clip(dens * st_mean / maj_k, 0.0, 1.0)
+            u2 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(draw + k))
+            real = u2 < p_real
+            factor = jnp.maximum(
+                1.0 - dens[..., None] * st_color / maj_k[..., None], 0.0)
+            w_null = factor / jnp.maximum(1.0 - p_real, 1e-12)[..., None]
+            # extension Woodcock
+            hit_k = ext_live & tap_ok[k] & real
+            null_k = ext_live & tap_ok[k] & ~real
+            escaped_k = ext_live & ~tap_ok[k] & (after_ts[k] >= t_lim)
+            ext_w = jnp.where(hit_k[..., None], ext_w * w_real, ext_w)
+            ext_w = jnp.where(null_k[..., None], ext_w * w_null, ext_w)
+            ext_t = jnp.where(hit_k, tap_ts[k],
+                              jnp.where(ext_live, after_ts[k], ext_t))
+            resolved_hit = resolved_hit | hit_k
+            ext_live = ext_live & ~hit_k & ~escaped_k
+            # shadow ratio tracking: hops contribute factor 1
+            upd = sh_live & tap_ok[k]
+            sh_tr = jnp.where(upd[..., None], sh_tr * factor, sh_tr)
+            sh_t = jnp.where(sh_live, after_ts[k], sh_t)
+            sh_live = sh_live & (after_ts[k] < t_lim)
+
+        tap_ctr = st.tap_ctr + jnp.uint32(K * (H + 2)) \
+            * any_work.astype(jnp.uint32)
+        ext_resolved = do_ext & ~ext_live
+        ext_tracking = st.ext_tracking & ~ext_resolved
+        ext_done = st.ext_done | ext_resolved
+        ext_scat = jnp.where(ext_resolved, resolved_hit, st.ext_scat)
+
+        n_taps = st.n_taps + jnp.sum(taps_used)
         track_work = jnp.any(
             (st.sh_active & ~st.sh_need_isect & (sh_t < st.sh_seg))
             | ext_tracking)

@@ -328,6 +328,15 @@ class RenderConfig(NamedTuple):
     wf_epoch_ring: int = 0       # wavefront film ring depth (0 = sppc: no
     #   stalls, per-sample slots; small values cap pending-buffer traffic at
     #   the cost of a min-completed barrier across lanes)
+    wf_dda: int = 0              # wavefront engine: macro-majorant grid
+    #   resolution per axis (regular tracking with local majorants; 0 =
+    #   reference-style single global majorant, heterogeneous.cpp:420).
+    #   Cuts useful taps ~1.5x (measured 2.99 -> 1.99/sample on the bench
+    #   scene) but costs +31%/slot in hop bookkeeping: a win only where
+    #   pass cost tracks ACTIVE lanes (the grouped engine), a loss at
+    #   full width — so off by default in the full-width engine
+    wf_dda_hops: int = 2         # tap-free macro-cell boundary hops absorbed
+    #   per tracking slot
     phase_kinds: tuple = ()      # static set of phase kinds in the scene
     phase_orient: bool = False   # static: a medium carries a per-voxel
     #   orientation field (microflake/kkay local axes)

@@ -1,0 +1,42 @@
+"""Local-majorant (DDA) tracking equivalence: regular tracking with the
+quantized macro-cell majorant grid (medium_m.MacroMajorant) must estimate
+the same transport as reference-style global-majorant Woodcock tracking
+(heterogeneous.cpp:420). Checked on a LOW-VARIANCE configuration (see the
+module docstring of test_wavefront.py for why)."""
+import numpy as np
+
+from mitsubaer_tpu.integrators import render as render_m
+from mitsubaer_tpu.scene import presets
+
+
+def test_dda_tracking_unbiased():
+    """Anchor against the deterministic single-scatter quadrature truth
+    (same design as test_engines_match_single_scatter_quadrature — the
+    multi-bounce engine-vs-engine means are heavy-tailed and wander).
+    Measured: dda sits at 0.99 of truth over 2 seeds (sem ~0.5%)."""
+    from mitsubaer_tpu.utils.validate import single_scatter_quadrature
+
+    scene, cfg = presets.volumetric_box(
+        res=12, spp=1, max_depth=2, heterogeneous=True, density_res=32,
+        emitter_kind="point", filter="box")
+    truth = single_scatter_quadrature(scene, cfg).mean()
+    a = np.mean([np.asarray(render_m.render(
+        scene, cfg._replace(spp=256, engine="wavefront", wf_dda=8),
+        seed=s)).mean() for s in (1, 3)])
+    assert np.isfinite(a)
+    assert abs(a - truth) / truth < 0.05, (a, truth)
+
+
+def test_macro_majorant_bounds_density():
+    import jax.numpy as jnp
+
+    from mitsubaer_tpu.models import medium as medium_m
+
+    scene, _ = presets.volumetric_box(res=8, spp=1, heterogeneous=True,
+                                      density_res=32)
+    mm = medium_m.MacroMajorant(scene.media, m=8)
+    rng = np.random.default_rng(0)
+    P = rng.uniform(-1, 1, size=(50000, 3)).astype(np.float32)
+    dens = np.asarray(medium_m.density_at(scene.media, jnp.asarray(P)))
+    maj, _ = mm.lookup(jnp.asarray(P))
+    assert (dens <= np.asarray(maj) + 1e-6).all()
