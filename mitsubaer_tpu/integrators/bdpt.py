@@ -80,6 +80,9 @@ class SubPath(NamedTuple):
     shape: jnp.ndarray    # (n, K) int32 hit shape (-1 at medium vertices)
     seg_psucc: jnp.ndarray  # (n, K) arrival-segment distance-pdf (scatter)
     seg_pfail: jnp.ndarray  # (n, K) arrival-segment distance-pdf (pass)
+    rdepth: jnp.ndarray   # (n, K) int32 # of REAL (non-null) vertices in
+    #   array[0..k] — null boundary crossings don't consume path depth
+    #   (mirrors volpath's ENull chains not incrementing depth)
 
 
 class LightStart(NamedTuple):
@@ -160,7 +163,8 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         med0 = jnp.broadcast_to(scene.camera_medium, (n,)).astype(jnp.int32)
 
     def body(carry, _):
-        o, d, beta, pdf_dir, alive, plen, prev_delta, med, smp = carry
+        (o, d, beta, pdf_dir, alive, plen, prev_delta, med, lr_p,
+         fail_since, smp) = carry
         hit = isect.intersect(scene.geo, o, d, jnp.full((n,), eps),
                               jnp.full((n,), isect.INF))
         t_surf = jnp.where(hit.valid, hit.t, jnp.float32(3e37))
@@ -193,13 +197,21 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         plen_here = plen + jnp.where(valid, t_v, 0.0)
 
         # arrival-segment distance-pdf factors (balance strategy; exact for
-        # homogeneous, 1 otherwise — see _seg_pdf_factors)
+        # homogeneous, 1 otherwise — see _seg_pdf_factors). Null boundary
+        # crossings are collinear pass-throughs that get COMPACTED out of
+        # the vertex arrays after the walk, so the stored factors and the
+        # direction-pdf conversion are EFFECTIVE values spanning the whole
+        # null run: fail-probabilities of the crossed sub-segments multiply
+        # in, and the measure conversion runs from the last REAL vertex
+        # (exact, because pass-through preserves the direction).
         stc = sa + ss
         tmp = jnp.exp(-stc * t_v[..., None])
-        seg_psucc = jnp.where(hom, sw * jnp.mean(stc * tmp, -1), 1.0)
-        seg_pfail = jnp.where(hom, (1.0 - sw) + sw * jnp.mean(tmp, -1), 1.0)
+        seg_psucc = fail_since * jnp.where(
+            hom, sw * jnp.mean(stc * tmp, -1), 1.0)
+        seg_pfail = fail_since * jnp.where(
+            hom, (1.0 - sw) + sw * jnp.mean(tmp, -1), 1.0)
 
-        pdf_fwd = _to_area(pdf_dir, o, p_v, ng_v, is_med_to=scat) \
+        pdf_fwd = _to_area(pdf_dir, lr_p, p_v, ng_v, is_med_to=scat) \
             * jnp.where(scat, seg_psucc, seg_pfail)
 
         sid = jnp.clip(hit.shape_id, 0, scene.shapes.bsdf.shape[0] - 1)
@@ -215,18 +227,26 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         u1, smp = rng.next_1d(smp)
         bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_l, u2, u1, active=act)
         ps = phase_m.sample(media.phase, med, d, u2, active=pact)
+        # null (medium-boundary) surfaces pass straight through as delta
+        # vertices: direction unchanged, weight 1, gated out of every
+        # connectible strategy by their delta flags (volpath ENull chains)
+        raw_b = smalltab.take(scene.shapes.bsdf, sid)
+        null_srf = valid_srf & _is_null_surface(scene, raw_b)
         wo_w = jnp.where(scat[..., None], ps.wo, frame.to_world(bs.wo))
+        wo_w = jnp.where(null_srf[..., None], d, wo_w)
         # density of regenerating the INCOMING direction from the sampled
         # outgoing one (reverse walk), used for the predecessor's pdf_rev
         pdf_rev_bs = bsdf_m.pdf(scene.bsdfs, b_idx, bs.wo, wi_l, active=act)
         pdf_rev_ph = phase_m.eval(media.phase, med, -ps.wo, -d, active=pact)
         pdf_rev_dir = jnp.where(scat, pdf_rev_ph, pdf_rev_bs)
         step_w = jnp.where(scat[..., None], ps.weight[..., None], bs.weight)
+        step_w = jnp.where(null_srf[..., None], 1.0, step_w)
         beta_here = beta * dist_w
         beta_next = beta_here * step_w
-        spec = jnp.where(scat, False, bs.delta)
-        pdf_next = jnp.where(scat, ps.pdf, bs.pdf)
-        cont = valid & (scat | (b_idx >= 0)) \
+        spec = jnp.where(scat, False, jnp.where(null_srf, True, bs.delta))
+        pdf_next = jnp.where(scat, ps.pdf,
+                             jnp.where(null_srf, 1.0, bs.pdf))
+        cont = valid & (scat | (b_idx >= 0) | null_srf) \
             & jnp.any(step_w > 0, axis=-1)
 
         # medium transition at surface crossings (incl. null passthrough)
@@ -234,6 +254,7 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         entering = dot(wo_w, hit.ng) < 0
         med_next = jnp.where(crossed, jnp.where(entering, m_in, m_ex), med)
 
+        is_real = valid & ~null_srf
         vert = dict(p=p_v, ng=ng_v, d_in=d, beta=beta_here,
                     pdf_fwd=jnp.where(valid, pdf_fwd, 0.0),
                     pdf_rev_dir=jnp.where(valid, pdf_rev_dir, 0.0),
@@ -241,22 +262,51 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
                     bsdf=b_idx, emitter=e_idx, valid=valid, plen=plen_here,
                     is_med=scat, med=jnp.where(scat, med, med_next),
                     shape=jnp.where(valid_srf, hit.shape_id, -1),
-                    seg_psucc=seg_psucc, seg_pfail=seg_pfail)
+                    seg_psucc=seg_psucc, seg_pfail=seg_pfail,
+                    is_real=is_real)
         o2 = p_v + wo_w * eps
-        return (o2, wo_w, beta_next, pdf_next, cont, plen_here, spec,
-                med_next, smp), vert
+        # carries across null runs: last-real anchor, accumulated
+        # fail-probability, arrival-delta passes straight through
+        lr_p2 = jnp.where(is_real[..., None], p_v, lr_p)
+        fail2 = jnp.where(is_real, 1.0, jnp.where(valid, seg_pfail,
+                                                  fail_since))
+        pdf_dir2 = jnp.where(is_real, pdf_next,
+                             jnp.where(valid, pdf_dir, pdf_dir))
+        delta2 = jnp.where(null_srf, prev_delta, spec)
+        return (o2, wo_w, beta_next, pdf_dir2, cont, plen_here, delta2,
+                med_next, lr_p2, fail2, smp), vert
 
     init = (o0, d0, beta1, pdf0_dir, jnp.ones((n,), bool),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), bool), med0, smp)
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), bool), med0,
+            origin_p, jnp.ones((n,), jnp.float32), smp)
     carry, verts = jax.lax.scan(body, init, None, length=K)
     smp = carry[-1]
     tr = lambda a: jnp.moveaxis(a, 0, 1)
-    p = tr(verts["p"])
-    ng = tr(verts["ng"])
-    is_med = tr(verts["is_med"])
-    seg_psucc = tr(verts["seg_psucc"])
-    seg_pfail = tr(verts["seg_pfail"])
-    pdf_rev_dir = tr(verts["pdf_rev_dir"])
+
+    # ---- compact null pass-through slots out of the arrays ----
+    # real vertices keep their order; the (s,t) machinery then always sees
+    # REAL neighbors, whose straight-line measure conversions are exact
+    # (collinear pass-through)
+    realv = tr(verts["is_real"])                     # (n, K)
+    kidx = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), realv.shape)
+    key = jnp.where(realv, kidx, K + kidx)
+    _, order = jax.lax.sort_key_val(key, kidx, dimension=1)
+
+    def cpk(a):
+        x = tr(verts[a]) if isinstance(a, str) else a
+        if x.ndim == 3:
+            return jnp.take_along_axis(x, order[..., None], axis=1)
+        return jnp.take_along_axis(x, order, axis=1)
+
+    nreal = jnp.sum(realv, axis=1)                   # (n,)
+    slot_ok = jnp.arange(K, dtype=jnp.int32)[None, :] < nreal[:, None]
+
+    p = cpk("p")
+    ng = cpk("ng")
+    is_med = cpk("is_med") & slot_ok
+    seg_psucc = cpk("seg_psucc")
+    seg_pfail = cpk("seg_pfail")
+    pdf_rev_dir = cpk("pdf_rev_dir")
     # pdf_rev[k] = pdf of vertex k as re-generated from vertex k+1: the
     # walk computed the reverse DIRECTION pdf at k+1; convert at k and
     # apply the shared segment's distance-pdf factor (symmetric for
@@ -270,14 +320,16 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
     # reverse pdf ONTO the walk origin (light y_0) from array vertex 0
     rev_to_origin = _to_area(pdf_rev_dir[:, 0], p[:, 0], origin_p,
                              origin_ng) * seg_pfail[:, 0]
+    valid_c = cpk("valid") & slot_ok
     sub = SubPath(
-        p=p, ng=ng, d_in=tr(verts["d_in"]), beta=tr(verts["beta"]),
-        pdf_fwd=tr(verts["pdf_fwd"]), pdf_rev=pdf_rev,
-        delta=tr(verts["delta"]), spec=tr(verts["spec"]),
-        bsdf=tr(verts["bsdf"]), emitter=tr(verts["emitter"]),
-        valid=tr(verts["valid"]), plen=tr(verts["plen"]),
-        is_med=is_med, med=tr(verts["med"]), shape=tr(verts["shape"]),
+        p=p, ng=ng, d_in=cpk("d_in"), beta=cpk("beta"),
+        pdf_fwd=cpk("pdf_fwd"), pdf_rev=pdf_rev,
+        delta=cpk("delta"), spec=cpk("spec"),
+        bsdf=cpk("bsdf"), emitter=cpk("emitter"),
+        valid=valid_c, plen=cpk("plen"),
+        is_med=is_med, med=cpk("med"), shape=cpk("shape"),
         seg_psucc=seg_psucc, seg_pfail=seg_pfail,
+        rdepth=jnp.cumsum(valid_c.astype(jnp.int32), axis=1),
     )
     return sub, rev_to_origin, smp
 
@@ -446,8 +498,10 @@ def render_bdpt(scene: Scene, cfg: RenderConfig, seed: int = 0,
 
     H, W = cfg.height, cfg.width
     npix = H * W
-    T_MAX = t_max or min(cfg.max_depth, 8)     # camera surface vertices
-    S_MAX = s_max or min(cfg.max_depth, 8)     # light vertices incl y_0
+    # +2 array slots absorb null-boundary crossings (which don't count as
+    # path depth — see SubPath.rdepth)
+    T_MAX = t_max or min(cfg.max_depth, 8) + 2  # camera vertices
+    S_MAX = s_max or min(cfg.max_depth, 8) + 2  # light vertices incl y_0
 
     import numpy as np
 
@@ -549,6 +603,10 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
     F = jnp.zeros((n,), bool)
     ones = jnp.ones((n,))
 
+    # null pass-through slots are compacted out of the subpath arrays, so
+    # array index == real path depth; the extra +2 walk slots only buy the
+    # WALK room to traverse null boundaries
+
     # ---------------- s = 0: camera path hits an emitter ----------------
     for t in range(2, T_MAX + 2):
         k = t - 2                      # array index of z_{t-1}
@@ -557,7 +615,8 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
         if not _strategy_on(0, t):
             continue
         e_idx = cam.emitter[:, k]
-        ok = cam.valid[:, k] & (e_idx >= 0)
+        ok = cam.valid[:, k] & (e_idx >= 0) \
+            & (cam.rdepth[:, k] <= cfg.max_depth)
         wo = -cam.d_in[:, k]
         Le = emitter_m.eval_hit(scene, e_idx, cam.ng[:, k], wo)
         contrib = cam.beta[:, k] * Le
@@ -603,14 +662,18 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
             if s == 1:
                 yp, yng = light0.p, light0.ng
                 y_valid = jnp.ones((n,), bool)
+                s_real = jnp.ones((n,), jnp.int32)
             else:
                 kl = s - 2
                 if kl >= lt.p.shape[1]:
                     continue
                 yp, yng = lt.p[:, kl], lt.ng[:, kl]
                 y_valid = lt.valid[:, kl]
+                s_real = 1 + lt.rdepth[:, kl]
             zp, zng = cam.p[:, kc], cam.ng[:, kc]
-            ok = cam.valid[:, kc] & y_valid
+            t_real = 1 + cam.rdepth[:, kc]
+            ok = cam.valid[:, kc] & y_valid \
+                & (s_real + t_real - 1 <= cfg.max_depth)
             dvec = yp - zp
             d2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
             dist = jnp.sqrt(d2)
@@ -726,7 +789,8 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
             if kl >= lt.p.shape[1]:
                 break
             yp, yng = lt.p[:, kl], lt.ng[:, kl]
-            ok = lt.valid[:, kl]
+            ok = lt.valid[:, kl] \
+                & (1 + lt.rdepth[:, kl] <= cfg.max_depth)
         to_c = jnp.broadcast_to(cam_p, (n, 3)) - yp
         d2 = jnp.maximum(jnp.sum(to_c * to_c, -1), 1e-12)
         dist = jnp.sqrt(d2)

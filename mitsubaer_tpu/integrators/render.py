@@ -299,6 +299,29 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
     if spp_per_pass is None:
         # bound wavefront to ~2^21 lanes to fit memory comfortably
         spp_per_pass = max(1, min(cfg.spp, (1 << 21) // max(npix, 1)))
+    if (cfg.integrator == "volpath_er" and cfg.er_host_stepped
+            and cfg.n_frames == 1):
+        from . import volpath_er as er_m
+
+        splat_j = functools.partial(jax.jit, static_argnames=("cfg",),
+                                    keep_unused=True)(
+            lambda accum, values, jit_r, cfg: film_m.splat(
+                accum, values, jit_r, cfg.filter))
+        accum = film_m.new_accumulator(cfg)
+        done = 0
+        pass_idx = 0
+        with stats.timed("render.wall"):
+            while done < cfg.spp:
+                sppc = min(spp_per_pass, cfg.spp - done)
+                sink, jitter = er_m.render_er_host_stepped(
+                    scene, cfg, sppc, jnp.asarray(seed, jnp.uint32),
+                    jnp.asarray(pass_idx, jnp.uint32))
+                values = sink.steady.reshape(sppc, cfg.height, cfg.width, 3)
+                jit_r = jitter.reshape(sppc, cfg.height, cfg.width, 2)
+                accum = splat_j(accum, values, jit_r, cfg)
+                done += sppc
+                pass_idx += 1
+        return film_m.develop(accum)
     if _use_wavefront(cfg):
         hd = _has_direct(scene)
         L = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)

@@ -81,6 +81,24 @@ def _refractive_params(scene: Scene):
 
 def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
        differentiable: bool = False, max_iters_override: int = None):
+    state, cond, body, max_iters = _li_build(
+        scene, cfg, o, d, sampler, pixel=pixel,
+        differentiable=differentiable, max_iters_override=max_iters_override)
+    if differentiable:
+        ck = jax.checkpoint(lambda st, _: (body(st), None))
+        final, _ = jax.lax.scan(ck, state, None, length=max_iters)
+    else:
+        final = jax.lax.while_loop(cond, body, state)
+    return final.sink, final.sampler
+
+
+def _li_build(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
+              differentiable: bool = False, max_iters_override: int = None):
+    """Build (state0, cond, body, max_iters) for the ER bounce loop so the
+    loop can run EITHER on-device (li, one long program) or host-stepped
+    (render_er_host_stepped: one jitted program per bounce — keeps each
+    TPU program under the long-running-kernel watchdog so wide wavefronts
+    are legal; the marching/BVP work per call is one bounce's worth)."""
     n = o.shape[0]
     eps = common.scene_epsilon(scene)
     sink = common.new_sink(cfg, n, pixel)
@@ -424,12 +442,63 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
             sampler=smp,
         )
 
-    if differentiable:
-        ck = jax.checkpoint(lambda st, _: (body(st), None))
-        final, _ = jax.lax.scan(ck, state, None, length=max_iters)
-    else:
-        final = jax.lax.while_loop(cond, body, state)
-    return final.sink, final.sampler
+    return state, cond, body, max_iters
+
+
+def _er_step_jit():
+    """Singleton jitted one-bounce step (state in/out, same shapes)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",), keep_unused=True)
+    def step(scene, cfg, state):
+        n = state.o.shape[0]
+        _, _, body, _ = _li_build(scene, cfg, state.o, state.v,
+                                  state.sampler, pixel=state.sink.pixel)
+        return body(state)
+
+    return step
+
+
+_ER_STEP = None
+
+
+def render_er_host_stepped(scene: Scene, cfg: RenderConfig, sppc: int,
+                           seed, pass_idx):
+    """One spp chunk of the ER integrator with the bounce loop driven from
+    the HOST: each bounce is its own jitted program, so per-program TPU
+    time stays bounded regardless of wavefront width — the axon tunnel's
+    long-kernel watchdog killed single-program ER renders beyond ~8k
+    lanes (measured: 128x128 spp2 crashes the worker even at
+    er_maxsteps=64). Returns the (sppc*npix,) flat sink steady sum."""
+    global _ER_STEP
+    import numpy as np
+
+    from ..models import sensor as sensor_m
+
+    H, W = cfg.height, cfg.width
+    npix = H * W
+    n = npix * sppc
+    pixel = jnp.tile(jnp.arange(npix, dtype=jnp.uint32), (sppc,))
+    sample_index = jnp.repeat(
+        jnp.asarray(pass_idx, jnp.uint32) * sppc
+        + jnp.arange(sppc, dtype=jnp.uint32), npix)
+    smp = rng.make_sampler(jnp.asarray(seed, jnp.uint32), pixel,
+                           sample_index, n_samples=cfg.spp)
+    jitter, smp = rng.next_2d(smp)
+    u_lens, smp = rng.next_2d(smp)
+    px = (pixel % W).astype(jnp.float32) + jitter[:, 0]
+    py = (pixel // W).astype(jnp.float32) + jitter[:, 1]
+    rays = sensor_m.sample_rays(scene.sensor, px, py, W, H, u_lens=u_lens)
+
+    state, cond, body, max_iters = _li_build(scene, cfg, rays.o, rays.d,
+                                             smp, pixel=pixel)
+    if _ER_STEP is None:
+        _ER_STEP = _er_step_jit()
+    for _ in range(max_iters):
+        state = _ER_STEP(scene, cfg, state)
+        if not bool(np.asarray(jnp.any(state.active))):
+            break
+    return state.sink, jitter
 
 
 # ---------------------------------------------------------------------------

@@ -297,6 +297,10 @@ class RenderConfig(NamedTuple):
     rr_weight: float = 1e-2
     bvp_restarts: int = 8        # max rounds of the curved-NEE restart loop
     #   (makeDirectConnections while(true); 0 = legacy single chord solve)
+    er_host_stepped: bool = False  # drive the ER bounce loop from the host
+    #   (one jitted program per bounce): keeps each TPU program under the
+    #   long-running-kernel watchdog so wide ER wavefronts are legal
+    #   (single-program renders crash the worker beyond ~8k lanes)
     er_f64: bool = False         # run the eikonal ODE/BVP core in float64
     #   (reference compiles eikonal math double via FLOATDEBUG, fwd.h:174;
     #   needs jax x64 enabled — CPU validation / high-accuracy renders)
