@@ -74,16 +74,21 @@ def bench_er_forward(jax, jnp, np):
     from mitsubaer_tpu.models import eikonal as ek
     from mitsubaer_tpu.scene import presets
 
-    res, spp = 64, 2
+    res, spp = 96, 2
     scene, cfg = presets.refractive_sphere(
         res=res, spp=spp, max_depth=6, rif_kind=ek.RIF_LINEAR,
         rif_params=(1.3, 0.15, 0.0, 0.0), er_stepsize=1e-2,
         emitter="point", filter="box")
-    # NOTE: large lane-count x large er_maxsteps programs trip the TPU
-    # worker's long-running-kernel watchdog through the axon tunnel
-    # ("kernel fault"); keep the per-call program short (256 steps) and
-    # amortize accuracy over step size instead (h=1e-2 on a unit sphere)
-    cfg = cfg._replace(er_maxsteps=256, bvp_restarts=8)
+    # Watchdog accounting (r4): single-program ER renders trip the TPU
+    # worker's long-running-kernel watchdog beyond ~8k lanes, so the
+    # bounce loop is host-stepped (er_host_stepped: one jitted program per
+    # bounce) and the BVP Newton marches run at 4x h (er_bvp_hscale) to
+    # cut the solver's sequential depth — accuracy: h=1e-2 endpoint error
+    # ~3e-4 on a 3-unit arc (f32 floor ~1e-4); h=4e-2 ~1e-3 inside the
+    # solver only (scripts/er_h_study.py); the reference's h=1e-3 default
+    # (heterogeneousrefractive.cpp:208) only pays off in f64 (cfg.er_f64)
+    cfg = cfg._replace(er_maxsteps=256, bvp_restarts=8,
+                       er_host_stepped=True, er_bvp_hscale=4.0)
     scene = jax.device_put(scene)
     img = rm.render(scene, cfg, seed=0)          # compile + warm
     _ = float(jnp.asarray(img).sum())
@@ -93,7 +98,9 @@ def bench_er_forward(jax, jnp, np):
     dt = time.perf_counter() - t0
     return dict(msamples=res * res * spp / dt / 1e6,
                 valid=bool(np.isfinite(m) and m > 0),
-                config=f"linear-RIF ER {res}x{res} spp{spp} h1e-2")
+                er_h=1e-2, er_bvp_hscale=4.0,
+                config=f"linear-RIF ER {res}x{res} spp{spp} h1e-2 "
+                       f"host-stepped bvp-h4x")
 
 
 def bench_er_grad(jax, jnp, np):

@@ -301,7 +301,8 @@ def _li_build(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
             + s.iters.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         bvp = ek.solve_bvp(
             rif, sdf, p_m.astype(_erf), dsm.p.astype(_erf),
-            chord.astype(_erf), h, max_march, nee_in,
+            chord.astype(_erf), h * cfg.er_bvp_hscale,
+            max(int(max_march / cfg.er_bvp_hscale), 16), nee_in,
             tol2=cfg.bvp_tol2, differentiable=differentiable,
             rr_weight=cfg.rr_weight, seed_bits=seed_bits,
             max_restarts=cfg.bvp_restarts,
@@ -600,8 +601,10 @@ def trace_er_particles(scene: Scene, cfg: RenderConfig, n_particles: int,
         chord = normalize(jnp.broadcast_to(cam_p, (n, 3)) - p_m)
         seed_bits = rng._hash_u32(lane + smp.index * jnp.uint32(0x9E3779B9))
         bvp = ek.solve_bvp(
-            rif, sdf, p_m, jnp.broadcast_to(cam_p, (n, 3)), chord, h,
-            max_march, scattered, tol2=cfg.bvp_tol2,
+            rif, sdf, p_m, jnp.broadcast_to(cam_p, (n, 3)), chord,
+            h * cfg.er_bvp_hscale,
+            max(int(max_march / cfg.er_bvp_hscale), 16),
+            scattered, tol2=cfg.bvp_tol2,
             rr_weight=cfg.rr_weight, seed_bits=seed_bits,
             max_restarts=cfg.bvp_restarts)
         ok_c = scattered & bvp.converged

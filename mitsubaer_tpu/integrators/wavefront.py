@@ -153,14 +153,23 @@ def _is_het(scene, idx):
 
 def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                 pass_idx, n_lanes: int | None = None,
-                has_direct: bool = True, any_het: bool = True):
+                has_direct: bool = True, any_het: bool = True,
+                row0=None, full_height: int | None = None):
     """Build the wavefront engine pieces for one render pass.
 
     Returns (init_state, event_pass, tracking_iter, cond, finalize) so the
     driver (render_wavefront) or profiling/test harnesses can step the
-    engine manually."""
+    engine manually.
+
+    row0/full_height: optional global row offset + full image height when
+    this engine renders a row-block shard of a larger image (shard_map over
+    the device mesh, parallel/driver.py) — camera rays and sampler keys use
+    GLOBAL pixel coordinates so the sharded render estimates the same
+    integral as the single-device one."""
     H, W = cfg.height, cfg.width
     npix = H * W
+    row0 = jnp.asarray(0 if row0 is None else row0, jnp.int32)
+    H_full = full_height or H
     # film ring depth: small caps pending-buffer traffic but imposes a
     # min-completed barrier (measured: E=4 tripled super-iterations on the
     # heterogeneous bench — fast lanes stall on the slowest epoch); default
@@ -185,6 +194,15 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     lane = jnp.arange(n, dtype=jnp.uint32)
     seed = jnp.asarray(seed, jnp.uint32)
     pass_idx = jnp.asarray(pass_idx, jnp.uint32)
+    # decorrelate the tracking-tap streams across passes AND across mesh
+    # shards (which arrive here as distinct pass indices / row offsets):
+    # without this every pass reuses the same per-lane tap-uniform sequence
+    # (tap_ctr restarts at 0 each pass). The PATH sampler keeps the bare
+    # seed — its keys are (pixel, global sample index), already
+    # pass-invariant by construction (replay/checkpoint identity).
+    tap_seed = seed ^ (pass_idx * jnp.uint32(0x9E3779B9)
+                       + jnp.uint32(0x7F4A7C15)
+                       + row0.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
     f0 = jnp.zeros((n,), jnp.float32)
     f3 = jnp.zeros((n, 3), jnp.float32)
     b0 = jnp.zeros((n,), bool)
@@ -533,22 +551,23 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         pix = jnp.where(want, new_pix, st.pix)
         sample_open = sample_open | want
         smp_index = pass_idx * jnp.uint32(sppc) + sample_idx.astype(jnp.uint32)
+        gpix = pix + row0 * jnp.int32(W)    # global pixel id (sharded rows)
         smp = rng.Sampler(
-            lane=jnp.where(want, pix.astype(jnp.uint32), smp.lane),
+            lane=jnp.where(want, gpix.astype(jnp.uint32), smp.lane),
             index=jnp.where(want, smp_index, smp.index),
             dim=jnp.where(want, jnp.uint32(0), smp.dim),
             seed=smp.seed, mode=smp.mode, n_samples=smp.n_samples,
         )
         u_jit, smp = rng.next_2d(smp)
         u_lens, smp = rng.next_2d(smp)
-        px = (pix % W).astype(jnp.float32) + u_jit[:, 0]
-        py = (pix // W).astype(jnp.float32) + u_jit[:, 1]
+        px = (gpix % W).astype(jnp.float32) + u_jit[:, 0]
+        py = (gpix // W).astype(jnp.float32) + u_jit[:, 1]
         if "nosensor" in _ABL:
             rays = sensor_m.CameraRays(o=f3, d=jnp.concatenate(
                 [f3[:, :2], jnp.ones((n, 1))], axis=-1))
         else:
             rays = sensor_m.sample_rays(
-                scene.sensor, px, py, W, H, u_lens=u_lens,
+                scene.sensor, px, py, W, H_full, u_lens=u_lens,
                 kind_hint=(cfg.sensor_kind if cfg.sensor_kind >= 0 else None))
         selr = want[..., None]
         o = jnp.where(selr, rays.o, o)
@@ -720,7 +739,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         ts = []
         t_k = t_cur
         for k in range(K):
-            u1 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(2 * k))
+            u1 = _tap_uniform(tap_seed, lane, st.tap_ctr + jnp.uint32(2 * k))
             t_k = t_k - jnp.log1p(-u1) / majorant
             ts.append(t_k)
         if K == 1:
@@ -750,7 +769,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             # extension Woodcock
             escaped = t_new >= t_lim
             p_real = dens * st_mean / majorant
-            u2 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(2 * k + 1))
+            u2 = _tap_uniform(tap_seed, lane, st.tap_ctr + jnp.uint32(2 * k + 1))
             real = u2 < p_real
             hit_k = ext_live & ~escaped & real
             null_k = ext_live & ~escaped & ~real
@@ -831,7 +850,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             tap_t = t_cur
             tap_maj = jnp.ones((n,), jnp.float32)
             for h in range(H + 1):
-                u1 = _tap_uniform(seed, lane,
+                u1 = _tap_uniform(tap_seed, lane,
                                   st.tap_ctr + jnp.uint32(draw))
                 draw += 1
                 pending = ~has_tap & (t_k < t_lim)
@@ -888,7 +907,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             dens = dens_all[k] * scale
             maj_k = tap_majs[k]
             p_real = jnp.clip(dens * st_mean / maj_k, 0.0, 1.0)
-            u2 = _tap_uniform(seed, lane, st.tap_ctr + jnp.uint32(draw + k))
+            u2 = _tap_uniform(tap_seed, lane, st.tap_ctr + jnp.uint32(draw + k))
             real = u2 < p_real
             factor = jnp.maximum(
                 1.0 - dens[..., None] * st_color / maj_k[..., None], 0.0)
@@ -994,7 +1013,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
         ts = []
         t_k = t_g
         for k in range(K):
-            u1 = _tap_uniform(seed, lane_g, ctr_g + jnp.uint32(2 * k))
+            u1 = _tap_uniform(tap_seed, lane_g, ctr_g + jnp.uint32(2 * k))
             t_k = t_k - jnp.log1p(-u1) / maj_g
             ts.append(t_k)
         p_all = (o_g[None, :, :] + jnp.stack(ts)[:, :, None] * d_g[None, :, :])
@@ -1012,7 +1031,7 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             taps_g = taps_g + live.astype(jnp.uint32)
             esc = t_new >= lim_g
             p_real = dens * stm_g / maj_g
-            u2 = _tap_uniform(seed, lane_g, ctr_g + jnp.uint32(2 * k + 1))
+            u2 = _tap_uniform(tap_seed, lane_g, ctr_g + jnp.uint32(2 * k + 1))
             real = u2 < p_real
             factor = 1.0 - dens[..., None] * stc_g / maj_g[..., None]
             w_null = factor / jnp.maximum(1.0 - p_real, 1e-12)[..., None]
@@ -1092,14 +1111,16 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
 
 def render_wavefront(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                      pass_idx, n_lanes: int | None = None,
-                     has_direct: bool = True, any_het: bool = True):
+                     has_direct: bool = True, any_het: bool = True,
+                     row0=None, full_height: int | None = None):
     """Render sppc samples/pixel; returns ((npix,3) radiance sum, stats).
 
     stats = (segments uint32, taps uint32, super_iterations int32,
     unfinished uint32)."""
     st, event_pass, tracking_iter, cond, finalize = make_engine(
         scene, cfg, sppc, seed, pass_idx, n_lanes=n_lanes,
-        has_direct=has_direct, any_het=any_het)
+        has_direct=has_direct, any_het=any_het, row0=row0,
+        full_height=full_height)
     T_TRACK = cfg.wf_track_iters if any_het else 0
     act = cfg.bsdf_kinds or None
 

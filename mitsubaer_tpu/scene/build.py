@@ -16,6 +16,9 @@ import jax.numpy as jnp
 from ..core import spline
 from . import types as T
 
+# triangle count above which scene build attaches a flattened BVH
+_BVH_MIN_TRIS = 512
+
 
 @dataclass
 class _BSDF:
@@ -285,6 +288,13 @@ class SceneBuilder:
             sr = np.zeros((1,), np.float32)
             ss = np.full((1,), -1, np.int32)
 
+        # big meshes get a flattened BVH (reference skdtree.h analogue);
+        # small scenes stay on the brute-force unrolled/chunked intersector
+        tree = None
+        if v0.shape[0] >= _BVH_MIN_TRIS:
+            from . import bvh as bvh_m
+
+            tree = bvh_m.build_bvh(v0, e1, e2)
         geo = T.Geometry(
             v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
             ng=jnp.asarray(ng), shape_id=jnp.asarray(tri_shape),
@@ -292,7 +302,7 @@ class SceneBuilder:
             uve1=jnp.asarray(tri_uvs[:, 1] - tri_uvs[:, 0]),
             uve2=jnp.asarray(tri_uvs[:, 2] - tri_uvs[:, 0]),
             sph_center=jnp.asarray(sc), sph_radius=jnp.asarray(sr),
-            sph_shape_id=jnp.asarray(ss),
+            sph_shape_id=jnp.asarray(ss), bvh=tree,
         )
 
         ns = max(len(self._shapes), 1)

@@ -155,6 +155,20 @@ def intersect_triangles(geo: Geometry, o, d, t_min, t_max):
     T = geo.v0.shape[0]
     n = o.shape[0]
 
+    if geo.bvh is not None:
+        # big meshes: flattened-BVH traversal (scene/bvh.py), replacing the
+        # reference's SAH kd-tree (skdtree.h:69)
+        from . import bvh as bvh_m
+
+        t, packed, u, v = bvh_m.intersect_bvh(geo.bvh, o, d, t_min, t_max)
+        prim = jnp.take(geo.bvh.tri_id,
+                        jnp.clip(packed, 0, geo.bvh.tri_id.shape[0] - 1))
+        ok = t < INF
+        valid_prim = smalltab.take(
+            geo.shape_id, jnp.clip(prim, 0, T - 1),
+            max_unroll=_TAKE_UNROLL) >= 0
+        return t, prim, u, v, ok & valid_prim
+
     if T <= _UNROLL_MAX:
         t, prim, u, v = _tri_unrolled_hit(geo, o, d)
     elif T <= _CHUNK:

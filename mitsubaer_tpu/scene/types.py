@@ -88,6 +88,9 @@ class Geometry(NamedTuple):
     sph_center: jnp.ndarray    # (S, 3)
     sph_radius: jnp.ndarray    # (S,)
     sph_shape_id: jnp.ndarray  # (S,) int32
+    bvh: object = None         # Optional[scene.bvh.Bvh]: flattened BVH for
+    #   big meshes (built by scene/build.py above _BVH_MIN_TRIS; None keeps
+    #   the brute-force chunked scan — speed of light for O(10-100) tris)
 
 
 class Shapes(NamedTuple):
@@ -297,6 +300,13 @@ class RenderConfig(NamedTuple):
     rr_weight: float = 1e-2
     bvp_restarts: int = 8        # max rounds of the curved-NEE restart loop
     #   (makeDirectConnections while(true); 0 = legacy single chord solve)
+    er_bvp_hscale: float = 1.0   # march the BVP Newton iterations at
+    #   h * this scale (the dominant sequential depth: restarts x iters x
+    #   curve steps); the converged direction is re-traced at the scaled h
+    #   too, whose O((s*h)^2) endpoint error stays ~1e-3 at s=4 (see
+    #   scripts/er_h_study.py) while the solver's sequential depth drops
+    #   by s — the restart/Zeltner machinery already tolerates imperfect
+    #   solves by construction
     er_host_stepped: bool = False  # drive the ER bounce loop from the host
     #   (one jitted program per bounce): keeps each TPU program under the
     #   long-running-kernel watchdog so wide ER wavefronts are legal
