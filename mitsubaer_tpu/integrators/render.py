@@ -290,6 +290,12 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = pssmlt_m.render_pssmlt(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "singlescatter":
+        from . import singlescatter as ss_m
+
+        with stats.timed("render.wall"):
+            img = ss_m.render_singlescatter(scene, cfg, seed=seed)
+        return img
     if cfg.integrator in ("photonmapper", "ppm", "sppm"):
         from . import photonmap as photonmap_m
 
