@@ -75,3 +75,85 @@ def field_li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         jnp.ones((n,), jnp.int32), jnp.ones((n,), bool),
     )
     return sink, sampler
+
+
+def render_multichannel(scene: Scene, cfg: RenderConfig, fields=None,
+                        seed: int = 0):
+    """Multi-channel render (misc/multichannel.cpp): the radiance image
+    plus any number of field-extraction channels from the SAME camera rays,
+    returned as (H, W, 3*(1+len(fields))). The reference nests
+    sub-integrators writing into named film channels; here each extra
+    channel is one more field evaluation over the shared primary hits."""
+    import jax
+
+    from ..core import rng as rng_m
+    from ..models import sensor as sensor_m
+    from . import render as render_m
+
+    fields = list(fields or ["shNormal", "distance"])
+    H, W = cfg.height, cfg.width
+    npix = H * W
+    img = render_m.render(scene, cfg, seed=seed)
+    if img.shape[-1] != 3:
+        img = img[..., :3]
+
+    pixel = jnp.arange(npix, dtype=jnp.uint32)
+    smp = rng_m.make_sampler(jnp.asarray(seed, jnp.uint32), pixel,
+                             jnp.zeros((npix,), jnp.uint32))
+    px = (pixel % W).astype(jnp.float32) + 0.5
+    py = (pixel // W).astype(jnp.float32) + 0.5
+    rays = sensor_m.sample_rays(scene.sensor, px, py, W, H)
+    chans = [jnp.asarray(img)]
+    for f in fields:
+        sink, _ = field_li(scene, cfg, rays.o, rays.d, smp, pixel=pixel,
+                           field=f)
+        chans.append(sink.steady.reshape(H, W, 3))
+    return jnp.concatenate(chans, axis=-1)
+
+
+def render_adaptive(scene: Scene, cfg: RenderConfig, seed: int = 0,
+                    max_error: float = 0.05, p_value: float = 0.05,
+                    max_sample_factor: int = 8, base_spp: int = None):
+    """Error-controlled adaptive sampling (misc/adaptive.cpp): render in
+    passes, stop per pixel once the t-test confidence interval of its mean
+    falls under max_error * mean (the reference's averageLuminance-relative
+    criterion), cap total samples at max_sample_factor * spp.
+
+    TPU shape note: XLA programs are fixed-width, so converged pixels still
+    occupy lanes in later passes; their samples are simply not accumulated
+    (each pixel divides by its own sample count — unbiased per pixel). The
+    reference's win is reallocating CPU time; ours is the same variance
+    control with the allocation expressed in sample counts."""
+    import jax
+    from scipy import stats as sstats
+
+    from . import render as render_m
+
+    H, W = cfg.height, cfg.width
+    base = base_spp or max(4, cfg.spp)
+    mean = jnp.zeros((H, W, 3))
+    m2 = jnp.zeros((H, W, 3))
+    count = jnp.zeros((H, W, 1))
+    active = jnp.ones((H, W, 1), bool)
+    passes = max_sample_factor
+    for i in range(passes):
+        img = jnp.asarray(render_m.render(
+            scene, cfg._replace(spp=base), seed=seed + 1000 * i))[..., :3]
+        # Welford over pass means (each pass is one observation per pixel)
+        new_count = count + active
+        delta = img - mean
+        mean = jnp.where(active, mean + delta / jnp.maximum(new_count, 1),
+                         mean)
+        m2 = jnp.where(active, m2 + delta * (img - mean), m2)
+        count = new_count
+        if i >= 1:
+            var = m2 / jnp.maximum(count - 1, 1)
+            sem = jnp.sqrt(var / jnp.maximum(count, 1))
+            tq = sstats.t.ppf(1.0 - 0.5 * p_value, df=max(int(i), 1))
+            lum = jnp.mean(mean, axis=-1, keepdims=True)
+            ci = tq * jnp.mean(sem, axis=-1, keepdims=True)
+            conv = ci <= max_error * jnp.maximum(lum, 1e-4)
+            active = active & ~conv
+            if not bool(jnp.any(active)):
+                break
+    return mean

@@ -205,6 +205,40 @@ class SceneBuilder:
             f += [[i, j, segments + j], [i, segments + j, segments + i]]
         return self.add_mesh(verts, np.asarray(f, np.int32), **kw)
 
+    def add_heightfield(self, heights, to_world=None, uv_tile=(1.0, 1.0),
+                        **kw) -> int:
+        """Displaced grid over [-1,1]^2 in XY with z = heights (Hh, Wh)
+        (shapes/heightfield.cpp — the reference ray-marches the implicit
+        field; a tessellated grid is the wavefront-friendly equivalent and
+        feeds the same BVH as any mesh)."""
+        h = np.asarray(heights, np.float32)
+        Hh, Wh = h.shape
+        ys = np.linspace(-1.0, 1.0, Hh, dtype=np.float32)
+        xs = np.linspace(-1.0, 1.0, Wh, dtype=np.float32)
+        X, Y = np.meshgrid(xs, ys)
+        verts = np.stack([X, Y, h], axis=-1).reshape(-1, 3)
+        i = np.arange(Hh - 1)[:, None] * Wh + np.arange(Wh - 1)[None, :]
+        i = i.reshape(-1)
+        faces = np.concatenate([
+            np.stack([i, i + 1, i + Wh + 1], axis=-1),
+            np.stack([i, i + Wh + 1, i + Wh], axis=-1),
+        ]).astype(np.int32)
+        u = (X + 1) * 0.5 * uv_tile[0]
+        v = (Y + 1) * 0.5 * uv_tile[1]
+        uv = np.stack([u, v], axis=-1).reshape(-1, 2)
+        return self.add_mesh(verts, faces, to_world=to_world, uv=uv, **kw)
+
+    def add_instances(self, verts, faces, to_worlds, **kw) -> list:
+        """Instanced mesh (shapes/instance.cpp + shapegroup.cpp): one
+        prototype replicated under per-instance transforms. The reference
+        nests a second kd-tree per shapegroup (two-level hierarchy); here
+        instances flatten into the global buffer — the single-level BVH
+        over the flattened soup is the TPU-friendly trade (no per-lane
+        transform indirection in the traversal inner loop) at the cost of
+        duplicated vertex storage. Returns the per-instance shape ids."""
+        return [self.add_mesh(verts, faces, to_world=m, **kw)
+                for m in to_worlds]
+
     def add_cube(self, to_world, **kw) -> int:
         """Unit cube [-1,1]^3 (shapes/cube.cpp), outward normals."""
         v = np.array(
