@@ -4,11 +4,13 @@ the same transport as reference-style global-majorant Woodcock tracking
 (heterogeneous.cpp:420). Checked on a LOW-VARIANCE configuration (see the
 module docstring of test_wavefront.py for why)."""
 import numpy as np
+import pytest
 
 from mitsubaer_tpu.integrators import render as render_m
 from mitsubaer_tpu.scene import presets
 
 
+@pytest.mark.slow
 def test_dda_tracking_unbiased():
     """Anchor against the deterministic single-scatter quadrature truth
     (same design as test_engines_match_single_scatter_quadrature — the

@@ -62,6 +62,7 @@ class TestTrainStep:
 
 
 class TestWavefrontSharded:
+    @pytest.mark.slow
     def test_wavefront_engine_under_shard_map(self):
         """The persistent-wavefront engine (the fast forward path) sharded
         over an 8-device mesh must estimate the same integral as the
