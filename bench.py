@@ -155,6 +155,18 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # env-var route is dead here: the axon sitecustomize imports jax before
+    # this file runs, so set the persistent compile cache on the live config
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(__file__),
+                                            ".jaxcache")))
+    except Exception:
+        pass
+
     het = bench_het(jax, jnp, np)
     try:
         er_f = bench_er_forward(jax, jnp, np)
