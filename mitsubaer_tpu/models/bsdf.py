@@ -34,6 +34,7 @@ from ..scene.types import (
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFTRANS,
+    BSDF_HK,
     BSDF_DIFFUSE,
     BSDF_HDIELECTRIC,
     BSDF_HROUGHDIELECTRIC,
@@ -247,6 +248,17 @@ def _eval_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
         out = jnp.where((kind == BSDF_DIFFTRANS)[..., None],
                         jnp.where((ci * co < 0)[..., None], f_dt, zero), out)
 
+    if _on(active, BSDF_HK):
+        # Hanrahan-Krueger thin-slab single scattering (hk.cpp): sigma_s =
+        # spec_r, sigma_a = spec_t, thickness = alpha, HG g = mix_w. The
+        # closed-form single-scatter slab lobes; the attenuated straight-
+        # through transmission is a delta (sample-only).
+        f_hk_r, f_hk_t, _ = _hk_lobes(bs, idx, spec_r, spec_t, alpha,
+                                      wi, wo)
+        f_hk = jnp.where((ci * co > 0)[..., None], f_hk_r, f_hk_t) \
+            * jnp.abs(co)[..., None]
+        out = jnp.where((kind == BSDF_HK)[..., None], f_hk, out)
+
     if _on(active, BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC):
         # rough dielectric (Walter et al. 2007; roughdielectric.cpp)
         is_rd = (kind == BSDF_ROUGHDIELECTRIC) | (kind == BSDF_HROUGHDIELECTRIC)
@@ -272,6 +284,41 @@ def _eval_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
     # defaults to 1, so this is a no-op for ordinary materials.
     _, opacity = _params_aniso(bs, idx)
     return out * opacity[..., None]
+
+
+def _hk_lobes(bs: BSDFs, idx, sig_s, sig_a, thickness, wi, wo):
+    """HK single-scatter slab lobes: (f_reflect, f_transmit, q_delta).
+
+    With tau = sigma_t * d, albedo w = sigma_s/sigma_t, mu = |cos|:
+      f_r = w p(gamma) / (mu_i + mu_o) * (1 - e^{-tau(1/mu_i + 1/mu_o)})
+      f_t = w p(gamma) (e^{-tau/mu_i} - e^{-tau/mu_o}) / (mu_i - mu_o)
+          -> w p tau e^{-tau/mu} / mu^2 as mu_i -> mu_o
+    q_delta = mean_channel e^{-tau/mu_i}: the unscattered straight-through
+    probability (the delta lobe's discrete sampling weight)."""
+    i_c = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
+    g = smalltab.take(bs.mix_w, i_c)
+    ci, co = cos_theta(wi), cos_theta(wo)
+    mu_i = jnp.maximum(jnp.abs(ci), 1e-5)
+    mu_o = jnp.maximum(jnp.abs(co), 1e-5)
+    st = sig_s + sig_a
+    tau = st * jnp.maximum(thickness, 1e-6)[..., None]
+    w_alb = sig_s / jnp.maximum(st, 1e-9)
+    # HG phase between propagation directions (-wi -> wo)
+    cg = dot(-wi, wo)
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cg, 1e-9)
+    p_hg = (INV_PI * 0.25) * (1.0 - g * g) / (denom * jnp.sqrt(denom))
+    f_r = (w_alb * p_hg[..., None] / (mu_i + mu_o)[..., None]
+           * (1.0 - jnp.exp(-tau * (1.0 / mu_i + 1.0 / mu_o)[..., None])))
+    dmu = mu_i - mu_o
+    near = jnp.abs(dmu) < 1e-4
+    safe = jnp.where(near, 1.0, dmu)
+    f_t_gen = (jnp.exp(-tau / mu_i[..., None])
+               - jnp.exp(-tau / mu_o[..., None])) / safe[..., None]
+    f_t_lim = tau * jnp.exp(-tau / mu_i[..., None]) / (mu_i * mu_i)[..., None]
+    f_t = w_alb * p_hg[..., None] * jnp.where(near[..., None], f_t_lim,
+                                              f_t_gen)
+    q_delta = jnp.mean(jnp.exp(-tau / mu_i[..., None]), axis=-1)
+    return f_r, f_t, q_delta
 
 
 def _pdf_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
@@ -333,6 +380,12 @@ def _pdf_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
         p_dt = warp.square_to_cosine_hemisphere_pdf(jnp.abs(wo))
         out = jnp.where(kind == BSDF_DIFFTRANS,
                         jnp.where(ci * co < 0, p_dt, 0.0), out)
+
+    if _on(active, BSDF_HK):
+        # proposal: (1-q_delta) x [half/half cosine lobe per side]
+        _, _, q_hk = _hk_lobes(bs, idx, spec_r, spec_t, alpha, wi, wo)
+        p_hk = (1.0 - q_hk) * 0.5 * jnp.abs(co) * INV_PI
+        out = jnp.where(kind == BSDF_HK, p_hk, out)
 
     if _on(active, BSDF_ROUGHDIELECTRIC, BSDF_HROUGHDIELECTRIC):
         is_rd = (kind == BSDF_ROUGHDIELECTRIC) | (kind == BSDF_HROUGHDIELECTRIC)
@@ -493,6 +546,34 @@ def _sample_base(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
         w_d[BSDF_DIFFTRANS] = refl
         p_d[BSDF_DIFFTRANS] = pdf_diff
 
+    hk_delta = None
+    if _on(active, BSDF_HK):
+        # HK (hk.cpp): with prob q_delta take the attenuated straight-
+        # through delta; else a half/half per-side cosine proposal whose
+        # weight is eval/pdf (single-scatter lobes)
+        _, _, q_hk = _hk_lobes(bs, idx, spec_r, spec_t, alpha, wi, wi)
+        hk_delta = u1 < q_hk
+        u1_r = jnp.clip((u1 - q_hk) / jnp.maximum(1.0 - q_hk, 1e-6),
+                        0.0, 1.0)
+        hk_back = u1_r < 0.5
+        wo_hk_nd = jnp.where(hk_back[..., None],
+                             wo_diff * jnp.array([1.0, 1.0, -1.0]), wo_diff)
+        wo_hk = jnp.where(hk_delta[..., None], -wi, wo_hk_nd)
+        f_hk_s = _eval_base(bs, idx, wi, wo_hk, refl_scale=refl_scale,
+                            active=active)
+        p_hk_s = _pdf_base(bs, idx, wi, wo_hk, refl_scale=refl_scale,
+                           active=active)
+        st_hk = spec_r + spec_t
+        tau_hk = st_hk * jnp.maximum(alpha, 1e-6)[..., None]
+        mu_i_hk = jnp.maximum(jnp.abs(ci), 1e-5)
+        w_hk_delta = jnp.exp(-tau_hk / mu_i_hk[..., None]) \
+            / jnp.maximum(q_hk, 1e-6)[..., None]
+        w_hk = jnp.where(hk_delta[..., None], w_hk_delta,
+                         f_hk_s / jnp.maximum(p_hk_s, 1e-12)[..., None])
+        wo_d[BSDF_HK] = wo_hk
+        w_d[BSDF_HK] = w_hk
+        p_d[BSDF_HK] = jnp.where(hk_delta, jnp.maximum(q_hk, 1e-6), p_hk_s)
+
     if _on(active, BSDF_WARD):
         # ward: sample the anisotropic specular lobe or cosine diffuse
         spec_w_ward = jnp.max(spec_r, axis=-1) / jnp.maximum(
@@ -592,6 +673,8 @@ def _sample_base(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
         | (kind == BSDF_MIRROR) | (kind == BSDF_NULL)
     )
     delta = delta_kinds | ((kind == BSDF_PLASTIC) & spec_choice)
+    if hk_delta is not None:
+        delta = delta | ((kind == BSDF_HK) & hk_delta)
     eta_out = jnp.where(
         ((kind == BSDF_DIELECTRIC) | (kind == BSDF_HDIELECTRIC)) & ~reflect_choice,
         eta_diel,

@@ -32,6 +32,10 @@ BSDF_DIFFTRANS = 13       # diffuse transmitter (difftrans.cpp)
 BSDF_HROUGHDIELECTRIC = 14  # rough dielectric w/ RIF-queried eta (hroughdielectric.cpp)
 BSDF_MIXTURE = 15         # convex combination of two base BSDFs (mixturebsdf.cpp/blendbsdf.cpp)
 BSDF_TWOSIDED = 16        # twosided.cpp wrapper: child0 shaded on both faces
+BSDF_HK = 17              # Hanrahan-Krueger thin-slab single scattering
+#   (hk.cpp): specular_r = sigma_s, specular_t = sigma_a,
+#   alpha = slab thickness, mix_w = HG g; single-scatter reflection +
+#   transmission lobes and attenuated delta straight-through
 
 # Texture kinds (models/texture.py; reference src/textures/*)
 TEX_NONE = -1
