@@ -42,22 +42,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import rng
-from ..core.math import Frame, dot, mis_weight_power
-from ..models import bsdf as bsdf_m
-from ..models import emitter as emitter_m
-from ..models import medium as medium_m
-from ..models import phase as phase_m
-from ..models import sensor as sensor_m
-from ..scene import intersect as isect
-from ..scene.types import (
+from mitsubaer_tpu.core import rng
+from mitsubaer_tpu.core.math import Frame, dot, mis_weight_power
+from mitsubaer_tpu.models import bsdf as bsdf_m
+from mitsubaer_tpu.models import emitter as emitter_m
+from mitsubaer_tpu.models import medium as medium_m
+from mitsubaer_tpu.models import phase as phase_m
+from mitsubaer_tpu.models import sensor as sensor_m
+from mitsubaer_tpu.scene import intersect as isect
+from mitsubaer_tpu.scene.types import (
     MED_HETEROGENEOUS,
     MED_HOMOGENEOUS,
     RenderConfig,
     Scene,
 )
-from . import common
-from .volpath import (
+from mitsubaer_tpu.integrators import common
+from mitsubaer_tpu.integrators.volpath import (
     _is_null_surface,
     _shape_tables,
     beam_transmittance,
@@ -65,7 +65,7 @@ from .volpath import (
     get_beam,
     sample_beam_point,
 )
-from .wavefront import _tap_uniform
+from mitsubaer_tpu.integrators.wavefront import _tap_uniform
 
 GSZ = 512          # lanes per group = pixels per tile
 TILE_H, TILE_W = 16, 32
@@ -169,6 +169,11 @@ def make_engine2(scene: Scene, cfg: RenderConfig, sppc: int, seed,
 
     seed = jnp.asarray(seed, jnp.uint32)
     pass_idx = jnp.asarray(pass_idx, jnp.uint32)
+    # decorrelate tracking taps across spp passes (same fix as wavefront.py:
+    # tap_ctr restarts at 0 each pass, so the bare seed would replay the
+    # identical per-lane tap sequence every pass)
+    tap_seed = seed ^ (pass_idx * jnp.uint32(0x9E3779B9)
+                       + jnp.uint32(0x7F4A7C15))
     all_lane = jnp.arange(n, dtype=jnp.int32)
 
     def init_state():
@@ -656,7 +661,7 @@ def make_engine2(scene: Scene, cfg: RenderConfig, sppc: int, seed,
                 tap_t = t_cur
                 tap_maj = jnp.ones((m,), jnp.float32)
                 for h in range(H_hops + 1):
-                    u1 = _tap_uniform(seed, lane_u,
+                    u1 = _tap_uniform(tap_seed, lane_u,
                                       tap_ctr + jnp.uint32(draw))
                     draw += 1
                     pending_h = ~has_tap & (t_k < t_lim)
@@ -693,7 +698,7 @@ def make_engine2(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             tap_ts, tap_majs, tap_ok, after_ts = [], [], [], []
             t_k = t_cur
             for k in range(K):
-                u1 = _tap_uniform(seed, lane_u, tap_ctr + jnp.uint32(2 * k))
+                u1 = _tap_uniform(tap_seed, lane_u, tap_ctr + jnp.uint32(2 * k))
                 t_k = t_k - jnp.log1p(-u1) / majorant
                 tap_ts.append(t_k)
                 tap_majs.append(majorant)
@@ -723,7 +728,7 @@ def make_engine2(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             p_real = jnp.clip(dens * st_mean / maj_k, 0.0, 1.0)
             idx2 = (jnp.uint32(accept_base + k) if accept_base is not None
                     else jnp.uint32(2 * k + 1))
-            u2 = _tap_uniform(seed, lane_u, tap_ctr + idx2)
+            u2 = _tap_uniform(tap_seed, lane_u, tap_ctr + idx2)
             real = u2 < p_real
             factor = jnp.maximum(
                 1.0 - dens[..., None] * st_color / maj_k[..., None], 0.0)

@@ -67,21 +67,6 @@ def render_pass_wavefront(scene: Scene, accum_L, cfg: RenderConfig, sppc: int,
     return accum_L + L, stats
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "sppc", "has_direct", "any_het"),
-                   keep_unused=True)
-def render_pass_wavefront2(scene: Scene, accum_L, cfg: RenderConfig,
-                           sppc: int, seed, pass_idx,
-                           has_direct: bool = True, any_het: bool = True):
-    """One spp chunk through the grouped-tile engine (wavefront2.py)."""
-    from . import wavefront2 as wf2_m
-
-    L, stats = wf2_m.render_wavefront2(
-        scene, cfg, sppc, seed, pass_idx, has_direct=has_direct,
-        any_het=any_het)
-    return accum_L + L, stats
-
-
 def _any_het(scene) -> bool:
     import numpy as np
 
@@ -91,18 +76,18 @@ def _any_het(scene) -> bool:
 
 
 def _use_wavefront(cfg: RenderConfig) -> bool:
-    if cfg.engine in ("wavefront", "wavefront2"):
+    if cfg.engine == "wavefront2":
+        raise ValueError(
+            "engine='wavefront2' (grouped-tile engine) was a measured"
+            " negative result (2.5x slower, PERF.md) and now lives in"
+            " experiments/wavefront2.py; use engine='wavefront'")
+    if cfg.engine == "wavefront":
         return True
     if cfg.engine == "loop":
         return False
     return (cfg.integrator in ("volpath", "path")
             and cfg.n_frames == 1 and cfg.modulation == "none"
             and cfg.filter == "box")
-
-
-def _use_wavefront2(scene, cfg: RenderConfig) -> bool:
-    # opt-in while the grouped engine is A/B'd against v1 (bench.py picks)
-    return cfg.engine == "wavefront2"
 
 
 def _has_direct(scene) -> bool:
@@ -337,8 +322,7 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
             # big per-pass sample budgets amortize the wavefront tail (the
             # final samples of a pass run at decaying occupancy)
             spp_per_pass = max(1, min(cfg.spp, 16))
-        pass_fn = (render_pass_wavefront2 if _use_wavefront2(scene, cfg)
-                   else render_pass_wavefront)
+        pass_fn = render_pass_wavefront
         with stats.timed("render.wall"):
             while done < cfg.spp:
                 sppc = min(spp_per_pass, cfg.spp - done)

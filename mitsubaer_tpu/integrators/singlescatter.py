@@ -70,8 +70,12 @@ def _solve_phi(c, R, eta, x, l, iters: int = 24):
     u = u / jnp.maximum(ru, 1e-9)
     w = (l - c) - dot(l - c, u, keepdims=True) * u
     nw = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    # degenerate colinear case: any perpendicular plane works
-    alt = jnp.stack([u[..., 1], -u[..., 0], u[..., 2]], axis=-1)
+    # degenerate colinear case: any perpendicular plane works. Build a true
+    # perpendicular via cross with whichever axis u is least aligned with
+    # (stack of [u_y,-u_x,u_z] is NOT orthogonal to u when u ~ ±z).
+    ax = jnp.where(jnp.abs(u[..., :1]) < 0.9,
+                   jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    alt = jnp.cross(u, ax)
     v = jnp.where(nw > 1e-6, w / jnp.maximum(nw, 1e-9), normalize(alt))
     phi_l = jnp.arccos(jnp.clip(dot(normalize(l - c), u), -1.0, 1.0))
 

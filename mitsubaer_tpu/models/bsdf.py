@@ -294,7 +294,14 @@ def _hk_lobes(bs: BSDFs, idx, sig_s, sig_a, thickness, wi, wo):
       f_t = w p(gamma) (e^{-tau/mu_i} - e^{-tau/mu_o}) / (mu_i - mu_o)
           -> w p tau e^{-tau/mu} / mu^2 as mu_i -> mu_o
     q_delta = mean_channel e^{-tau/mu_i}: the unscattered straight-through
-    probability (the delta lobe's discrete sampling weight)."""
+    probability (the delta lobe's discrete sampling weight).
+
+    Deliberate deviation from the reference: hk.cpp:233/254 multiplies both
+    glossy lobes by an extra cosThetaI factor, which makes the BSDF
+    non-reciprocal (eval(wi,wo) != eval(wo,wi)). We omit it so the lobes are
+    reciprocal and sample/eval/pdf-consistent (enforced by tests/test_hk.py);
+    HK renders are therefore unbiased but brighter than hk.cpp by |cos_i|
+    per glossy lobe."""
     i_c = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
     g = smalltab.take(bs.mix_w, i_c)
     ci, co = cos_theta(wi), cos_theta(wo)

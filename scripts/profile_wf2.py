@@ -6,7 +6,20 @@ import sys, time
 from functools import partial
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
-from mitsubaer_tpu.integrators.render import render_pass_wavefront2
+import functools
+import jax
+from experiments.wavefront2 import render_wavefront2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sppc", "has_direct", "any_het"),
+                   keep_unused=True)
+def render_pass_wavefront2(scene, accum_L, cfg, sppc, seed, pass_idx,
+                           has_direct=True, any_het=True):
+    L, stats = render_wavefront2(scene, cfg, sppc, seed, pass_idx,
+                                 has_direct=has_direct, any_het=any_het)
+    return accum_L + L, stats
+
 from mitsubaer_tpu.scene import presets
 
 VARIANTS = eval(sys.argv[1]) if len(sys.argv) > 1 else [(2, 3, 0), (2, 3, 8), (2, 6, 8)]
