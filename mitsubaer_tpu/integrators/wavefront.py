@@ -705,9 +705,12 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
     # ------------------------------------------------------------------
     def tracking_iter(st: WFState, K: int = 1, compact: int = 0) -> WFState:
         if compact > 0:
-            return tracking_compact(st, K, max(256, n // compact))
+            return tracking_ladder(st)
         if macro is not None:
             return tracking_dda(st, K)
+        return tracking_full(st, K)
+
+    def tracking_full(st: WFState, K: int = 1) -> WFState:
         """K majorant jumps per lane in ONE pass: shadow ratio-tracking has
         priority, otherwise extension Woodcock.
 
@@ -949,65 +952,65 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
 
     # ------------------------------------------------------------------
     def tracking_compact(st: WFState, K: int, W: int) -> WFState:
-        """Compacted K-jump tracking pass: only ~occupancy-many lanes issue
-        density lookups.
+        """Compacted K-jump tracking pass (r5 rework): only ~active-many
+        lanes issue density lookups.
 
-        The full-width engine wastes ~85% of its lookup cost on idle lanes
-        (measured 2.99 useful taps/sample vs K slots/lane/pass; the fused
-        lookup is the engine's atom at ~6.8 ns/slot). Compaction here is
-        sort-based — lax.sort_key_val of 262k keys measures 0.12 ms on v5e,
-        ~30x cheaper than scatter-built permutation lists:
-          1. sort (need ? lane : BIG) -> the first W sorted values are the
-             active lanes, in lane order;
+        The full-width engine wastes ~80% of its lookup cost on idle lanes
+        (measured 2.99 useful taps/sample vs K slots/lane/pass at ~6.8
+        ns/lane-slot). r5 probes (scripts/probe_scatter_r5.py) re-measured
+        the pack/unpack atoms and overturned the r3/r4 "compaction cannot
+        pay" conclusion: a W-row unique scatter is ~11 ns/row (0.7 ms @65k),
+        a (W,12) pack gather ~9 ns/row, sort_key_val 0.14 ms @262k. Design:
+          1. sort (need ? lane : BIG) -> first W sorted values are the
+             active lanes (the caller's width ladder guarantees W >= count,
+             so there are no overflow-delayed lanes);
           2. ONE packed-row gather pulls their tracking state;
-          3. K jumps run at width W (lookup cost scales with W, not n);
-          4. lanes gather their outcome row back via their cumsum rank
-             (gather-back, not scatter-back: TPU scatter is 5-10x slower).
-        Overflow lanes (rank >= W) keep their flags and are served next
-        block."""
+          3. K jumps run at width W (slot cost scales with W, not n);
+          4. ONE (W,8) outcome-row scatter puts results back (invalid rows
+             carry processed=0 and merge as no-ops)."""
         need_sh = st.sh_active & ~st.sh_need_isect & (st.sh_t < st.sh_seg)
         need = need_sh | st.ext_tracking
         do_sh = need_sh
-        # per-lane tracking inputs (cheap full-width prep). Medium-derived
+        # per-lane tracking inputs (cheap full-width selects). Medium-derived
         # quantities (sigma tables, majorant) are NOT computed here — they
-        # derive from the medium id alone, so they are gathered/derived at
-        # compacted width W below (the original 17-column pack measured
-        # ~0.7 ms of full-width params arithmetic per pass).
+        # derive from the medium id alone at compacted width W below.
         t_cur = jnp.where(do_sh, st.sh_t, st.ext_t)
         o_cur = jnp.where(do_sh[..., None], st.sh_o, st.o)
         d_cur = jnp.where(do_sh[..., None], st.sh_d, st.d)
         t_lim = jnp.where(do_sh, st.sh_seg, st.t_far)
         med = jnp.where(do_sh, st.sh_med, st.medium)
 
-        # --- pack per-lane state into one row table (n, 9) ---
+        # --- pack per-lane state into one row table (n, 12) ---
         lanes = jnp.arange(n, dtype=jnp.int32)
         packed = jnp.concatenate([
             o_cur, d_cur, t_cur[:, None], t_lim[:, None],
             med.astype(jnp.float32)[:, None],
-        ], axis=-1)                                   # (n, 9)
+            jax.lax.bitcast_convert_type(st.tap_ctr,
+                                         jnp.float32)[:, None],
+            need.astype(jnp.float32)[:, None],
+            do_sh.astype(jnp.float32)[:, None],
+        ], axis=-1)                                   # (n, 12)
 
         # --- sort-based compaction ---
         key = jnp.where(need, lanes, jnp.int32(2 ** 30))
         _, src = jax.lax.sort_key_val(key, lanes)
         src_w = src[:W]
-        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
-        in_win = need & (rank < W)
 
-        rows = jnp.take(packed, src_w, axis=0)        # (W, 9)
-        s_valid = jnp.take(need, src_w, axis=0)
+        rows = jnp.take(packed, src_w, axis=0)        # (W, 12)
         o_g = rows[:, 0:3]
         d_g = rows[:, 3:6]
         t_g = rows[:, 6]
         lim_g = rows[:, 7]
         med_g = rows[:, 8].astype(jnp.int32)
+        ctr_g = jax.lax.bitcast_convert_type(rows[:, 9], jnp.uint32)
+        s_valid = rows[:, 10] > 0.5
+        sh_g = (rows[:, 11] > 0.5) & s_valid
         _, sa_g, ss_g, _, scale_g = _medium_params(scene, med_g)
         stc_g = sa_g + ss_g
         stm_g = jnp.mean(stc_g, axis=-1)
         maj_g = jax.lax.stop_gradient(jnp.maximum(
             media.majorant * jnp.max(stc_g, axis=-1), 1e-6))
-        sh_g = jnp.take(do_sh, src_w, axis=0) & s_valid
         lane_g = src_w.astype(jnp.uint32)
-        ctr_g = jnp.take(st.tap_ctr, src_w, axis=0)
 
         # --- K jumps at width W ---
         ts = []
@@ -1051,18 +1054,18 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             hit[:, None].astype(jnp.float32),
             resolved_g[:, None].astype(jnp.float32),
             taps_g[:, None].astype(jnp.float32),
-            jnp.zeros((W, 1), jnp.float32),
+            s_valid[:, None].astype(jnp.float32),
         ], axis=-1)                                   # (W, 8)
 
-        # --- gather outcomes back to lanes via their rank ---
-        lane_slot = jnp.clip(jnp.where(in_win, rank, 0), 0, W - 1)
-        mine = jnp.take(out_rows, lane_slot, axis=0)  # (n, 8)
-        processed = in_win
-        t_b = mine[:, 0]
-        fac_b = mine[:, 1:4]
-        hit_b = mine[:, 4] > 0.5
-        res_b = (mine[:, 5] > 0.5) & processed
-        taps_b = mine[:, 6].astype(jnp.uint32)
+        # --- ONE W-row scatter puts outcomes back in lane order ---
+        staging = jnp.zeros((n, 8), jnp.float32).at[src_w].set(
+            out_rows, unique_indices=True)
+        processed = (staging[:, 7] > 0.5) & need
+        t_b = staging[:, 0]
+        fac_b = staging[:, 1:4]
+        hit_b = staging[:, 4] > 0.5
+        res_b = (staging[:, 5] > 0.5) & processed
+        taps_b = staging[:, 6].astype(jnp.uint32)
 
         p_ext = processed & ~do_sh
         p_sh = processed & do_sh
@@ -1085,6 +1088,30 @@ def make_engine(scene: Scene, cfg: RenderConfig, sppc: int, seed,
             ext_t=ext_t, ext_w=ext_w, sh_tr=sh_tr, sh_t=sh_t,
             tap_ctr=tap_ctr, n_taps=n_taps, track_work=track_work,
         )
+
+    def tracking_ladder(st: WFState) -> WFState:
+        """Pick the smallest compacted width that holds the active count.
+
+        Rungs n/8, n/4, n/2 + a full-width fallback; every rung is compiled
+        once and lax.switch executes exactly one per pass. W >= count by
+        construction, so compaction never delays lanes (the r3 variant's
+        overflow lanes cost it ~20% extra full passes)."""
+        K = max(1, cfg.wf_compact_k)
+        need = (st.sh_active & ~st.sh_need_isect & (st.sh_t < st.sh_seg)) \
+            | st.ext_tracking
+        cnt = jnp.sum(need.astype(jnp.int32))
+        rungs = [min(n, max(256, n // 8)), min(n, max(256, n // 4)),
+                 min(n, max(256, n // 2))]
+        ix = ((cnt > rungs[0]).astype(jnp.int32)
+              + (cnt > rungs[1]).astype(jnp.int32)
+              + (cnt > rungs[2]).astype(jnp.int32))
+        return jax.lax.switch(ix, [
+            lambda s: tracking_compact(s, K, rungs[0]),
+            lambda s: tracking_compact(s, K, rungs[1]),
+            lambda s: tracking_compact(s, K, rungs[2]),
+            lambda s: (tracking_dda(s, K) if macro is not None
+                       else tracking_full(s, K)),
+        ], st)
 
     # ------------------------------------------------------------------
     def cond(st: WFState):

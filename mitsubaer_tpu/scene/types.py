@@ -330,9 +330,16 @@ class RenderConfig(NamedTuple):
     #   path/volpath renders with a box filter)
     wf_track_iters: int = 4      # wavefront engine: heterogeneous tracking
     #   iterations per event pass (tune to the scene's taps-per-bounce)
-    wf_track_compact: int = 0    # wavefront engine: compact tracking to
-    #   n/wf_track_compact lookup slots per block (0 = full-width); pays a
-    #   ~2 ms pack/unpack to skip the ~85% idle-lane density lookups
+    wf_track_compact: int = 0    # wavefront engine: sort-compacted tracking
+    #   (r5 rework). 0 = full-width; >0 enables a width LADDER: each
+    #   tracking pass packs the active lanes (sort + row gather), runs
+    #   wf_compact_k jumps at the smallest ladder width that fits the
+    #   active count, and scatters the packed outcomes back (~11 ns/row
+    #   measured — scripts/probe_scatter_r5.py overturned the r3 5-10x
+    #   scatter-cost assumption that kept this off)
+    wf_compact_k: int = 8        # majorant jumps per compacted tracking
+    #   pass (packed slots are ~4x cheaper than full-width slots, so the
+    #   compacted pass runs more jumps and resolves most lanes in one go)
     wf_mini_passes: int = 1      # wavefront engine: cheap transition passes
     #   per super-iteration (null crossings / env escapes / flush+regen
     #   resolve without paying for NEE setup + direction sampling); 0
