@@ -25,9 +25,27 @@ stored camera array cam[k] = z_{k+1} (the pinhole is implicit: delta
 position, never connectible, t'=0 strategies impossible); the stored light
 array lt[k] = y_{k+1}, with y_0 kept separately in LightStart.
 
-Scope: surface transport (area + point emitters, every surface BSDF).
-Volumetric paths ride the volpath/wavefront family; curved-ER connections
-(edge.cpp:473 -> the BVP) live in volpath_er.py.
+Scope: surface + volumetric transport (area + point emitters, every
+surface BSDF, homogeneous/heterogeneous media) and — matching the
+reference's primary ER integrator — CURVED eikonal transport (r5):
+
+* the random walks march curved rays inside the refractive medium
+  (trace_curved), record medium vertices whose incident direction is the
+  curved exit velocity (vertex.cpp:250-256), treat the medium boundary as
+  an h-dielectric delta vertex with RIF-queried eta (hdielectric.cpp:115),
+  and accumulate OPTICAL path length;
+* (s,t) connections with an endpoint inside the medium route through the
+  batched BVP solver (edge.cpp:473-643 -> eikonal.solve_bvp), feeding the
+  curved exit/reverse directions into the endpoint f terms, 1/geo^2
+  falloff, refRatioSq radiance compression, and the optical connection
+  length into the transient binning (bdpt_proc.cpp:396-399);
+* t=1 strategies from in-medium vertices solve the sensor-side BVP and
+  splat at the pixel of the ARRIVAL direction (edge.cpp:535-543).
+
+Approximations vs the reference (documented, all MIS-weight-only): walk-
+internal reverse-pdf measure conversions use the straight chord between
+stored vertices, and the outside tail of a curved connection is not
+re-tested for occlusion (matches volpath_er's curved-NEE scope).
 """
 from __future__ import annotations
 
@@ -37,7 +55,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng, smalltab
-from ..core.math import Frame, dot, normalize
+from ..core.math import Frame, dot, fresnel_dielectric, normalize
+from ..models import eikonal as ek
 from ..models import bsdf as bsdf_m
 from ..models import emitter as emitter_m
 from ..models import medium as medium_m
@@ -51,11 +70,13 @@ from ..scene.types import (
     EM_POINT,
     MED_HETEROGENEOUS,
     MED_HOMOGENEOUS,
+    MED_REFRACTIVE,
     RenderConfig,
     Scene,
 )
 from . import common
 from .volpath import _is_null_surface, _shape_tables, attenuated_visibility
+from .volpath_er import _refractive_params
 
 
 class SubPath(NamedTuple):
@@ -143,7 +164,8 @@ def _conn_medium(scene, is_med_v, med_v, shape_v, ng_v, wconn):
 
 
 def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
-                  smp, K: int, eps, med0=None, any_het: bool = False):
+                  smp, K: int, eps, med0=None, any_het: bool = False,
+                  any_er: bool = False):
     """Walk K vertices (surface + medium interactions) from ray (o0, d0).
 
     Each step: intersect, sample a medium distance in the current medium
@@ -161,6 +183,21 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
     media = scene.media
     if med0 is None:
         med0 = jnp.broadcast_to(scene.camera_medium, (n,)).astype(jnp.int32)
+    if any_er:
+        # eikonal support: curved marching inside the (single) refractive
+        # medium + h-dielectric boundary vertices. The walk then produces
+        # medium vertices whose incident direction is the curved exit
+        # velocity (vertex.cpp:250-256) and whose path length is OPTICAL
+        # (edge.cpp opticalLength bookkeeping).
+        rif = ek.rif_from_media(media)
+        sdf = ek.sdf_from_media(media)
+        _, sa_er, ss_er, sw_er, er_idx = _refractive_params(scene)
+        st_er = sa_er + ss_er
+        h_er = cfg.er_stepsize
+        max_march = cfg.er_maxsteps
+        er_shape = jnp.argmax(
+            scene.shapes.interior == er_idx).astype(jnp.int32)
+        er_exterior = smalltab.take(scene.shapes.exterior, er_shape)
 
     def body(carry, _):
         (o, d, beta, pdf_dir, alive, plen, prev_delta, med, lr_p,
@@ -169,6 +206,15 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
                               jnp.full((n,), isect.INF))
         t_surf = jnp.where(hit.valid, hit.t, jnp.float32(3e37))
         kind, sa, ss, sw, scale = medium_m.params(media, med)
+        if any_er:
+            # inside-ER lanes transport along curved rays — the straight
+            # intersection result is meaningless for them
+            er_ln = alive & (kind == MED_REFRACTIVE)
+            t_surf = jnp.where(er_ln, jnp.float32(3e37), t_surf)
+            hit_valid = hit.valid & ~er_ln
+        else:
+            er_ln = jnp.zeros((n,), bool)
+            hit_valid = hit.valid
         u_h, smp = rng.next_1d(smp)
         uc_h, smp = rng.next_1d(smp)
         hs, ht, hw, _ = medium_m.sample_distance_homogeneous(
@@ -189,12 +235,50 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         scat = alive & in_medium & hs
         dist_w = jnp.where(in_medium[..., None], hw, 1.0)
 
-        valid_srf = alive & hit.valid & ~scat
-        valid = scat | valid_srf
+        valid_srf = alive & hit_valid & ~scat
+        if any_er:
+            # ---- curved marching inside the refractive medium ----
+            march_dist = jnp.where(hs, ht, jnp.float32(1e6))
+            n_start = jnp.maximum(ek.rif_value(rif, o), 1e-6)
+            v_in = d * n_start[..., None]
+            p_m, v_m, opt_m, geo_m, exited_m, _ = ek.trace_curved(
+                rif, sdf, o, v_in, march_dist, h_er, max_march, er_ln)
+            scat_er = er_ln & hs & ~exited_m
+            exit_er = er_ln & (exited_m | ~hs)
+            p_b, v_b, opt_b, adv_b = ek.refine_boundary(rif, sdf, p_m, v_m,
+                                                        h_er)
+            p_m = jnp.where(exit_er[..., None], p_b, p_m)
+            v_m = jnp.where(exit_er[..., None], v_b, v_m)
+            opt_m = jnp.where(exit_er, opt_m + opt_b, opt_m)
+            geo_m = jnp.where(exit_er, geo_m + adv_b, geo_m)
+            n_end_er = jnp.maximum(ek.rif_value(rif, p_m), 1e-6)
+            d_arr_er = normalize(v_m)
+            N_out = normalize(ek.sdf_gradient(sdf, p_m))
+            # balance-strategy estimator weights at the CURVED arc length
+            tr_er = jnp.exp(-st_er[None, :] * geo_m[..., None])
+            pdf_fail_er = (1.0 - sw_er) + sw_er * jnp.mean(tr_er, -1)
+            pdf_succ_er = sw_er * jnp.mean(st_er[None, :] * tr_er, -1)
+            w_sc_er = ss_er[None, :] * tr_er \
+                / jnp.maximum(pdf_succ_er, 1e-12)[..., None]
+            w_ex_er = tr_er / jnp.maximum(pdf_fail_er, 1e-12)[..., None]
+            rrsq = (n_end_er / n_start) ** 2
+            dist_w_er = jnp.where(scat_er[..., None], w_sc_er, w_ex_er) \
+                * rrsq[..., None]
+            scat = scat | scat_er
+            dist_w = jnp.where(er_ln[..., None], dist_w_er, dist_w)
+        else:
+            exit_er = jnp.zeros((n,), bool)
+        valid = scat | valid_srf | exit_er
         t_v = jnp.where(scat, ht, t_surf)
         p_v = jnp.where(scat[..., None], o + t_v[..., None] * d, hit.p)
         ng_v = jnp.where(scat[..., None], 0.0, hit.ng)
         plen_here = plen + jnp.where(valid, t_v, 0.0)
+        if any_er:
+            t_v = jnp.where(er_ln, geo_m, t_v)
+            p_v = jnp.where(er_ln[..., None], p_m, p_v)
+            ng_v = jnp.where(exit_er[..., None], N_out, ng_v)
+            # OPTICAL path length inside the medium (bdpt_proc.cpp:396-399)
+            plen_here = jnp.where(er_ln & valid, plen + opt_m, plen_here)
 
         # arrival-segment distance-pdf factors (balance strategy; exact for
         # homogeneous, 1 otherwise — see _seg_pdf_factors). Null boundary
@@ -211,8 +295,20 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         seg_pfail = fail_since * jnp.where(
             hom, (1.0 - sw) + sw * jnp.mean(tmp, -1), 1.0)
 
+        if any_er:
+            seg_psucc = jnp.where(er_ln, fail_since * pdf_succ_er, seg_psucc)
+            seg_pfail = jnp.where(er_ln, fail_since * pdf_fail_er, seg_pfail)
+
         pdf_fwd = _to_area(pdf_dir, lr_p, p_v, ng_v, is_med_to=scat) \
             * jnp.where(scat, seg_psucc, seg_pfail)
+        if any_er:
+            # curved measure conversion: |cos|/geo^2 at the CURVED arc
+            # length with the curved arrival direction (vertex.cpp:1339)
+            cos_b = jnp.abs(dot(d_arr_er, N_out))
+            pdf_fwd_er = pdf_dir * jnp.where(exit_er, cos_b, 1.0) \
+                / jnp.maximum(geo_m * geo_m, 1e-12) \
+                * jnp.where(scat, seg_psucc, seg_pfail)
+            pdf_fwd = jnp.where(er_ln, pdf_fwd_er, pdf_fwd)
 
         sid = jnp.clip(hit.shape_id, 0, scene.shapes.bsdf.shape[0] - 1)
         b_idx = jnp.where(valid_srf, smalltab.take(scene.shapes.bsdf, sid),
@@ -226,45 +322,97 @@ def _surface_walk(scene, cfg, o0, d0, beta1, pdf0_dir, origin_p, origin_ng,
         u2, smp = rng.next_2d(smp)
         u1, smp = rng.next_1d(smp)
         bs = bsdf_m.sample(scene.bsdfs, b_idx, wi_l, u2, u1, active=act)
-        ps = phase_m.sample(media.phase, med, d, u2, active=pact)
+        d_ph = jnp.where(er_ln[..., None], d_arr_er, d) if any_er else d
+        ps = phase_m.sample(media.phase, med, d_ph, u2, active=pact)
         # null (medium-boundary) surfaces pass straight through as delta
         # vertices: direction unchanged, weight 1, gated out of every
         # connectible strategy by their delta flags (volpath ENull chains)
         raw_b = smalltab.take(scene.shapes.bsdf, sid)
         null_srf = valid_srf & _is_null_surface(scene, raw_b)
+        if any_er:
+            # a boundary of the refractive medium is an h-dielectric, NOT a
+            # null pass-through (shape.cpp:129-180 enforces h-BSDFs there)
+            bnd_entry = valid_srf & ((m_in == er_idx) | (m_ex == er_idx))
+            null_srf = null_srf & ~bnd_entry
         wo_w = jnp.where(scat[..., None], ps.wo, frame.to_world(bs.wo))
         wo_w = jnp.where(null_srf[..., None], d, wo_w)
+        if any_er:
+            # --- h-dielectric ENTRY (straight hit on the boundary shape):
+            # Fresnel with RIF-queried eta (hdielectric.cpp:115-118)
+            n_at = jnp.maximum(ek.rif_value(rif, hit.p), 1e-6)
+            cos_i = dot(-d, hit.ng)
+            F_in, _ = fresnel_dielectric(cos_i, n_at)
+            refl_in = u1 < F_in
+            v_refl_in = d - 2.0 * dot(d, hit.ng, keepdims=True) * hit.ng
+            N_in = jnp.where(cos_i[..., None] > 0, hit.ng, -hit.ng)
+            v_refr_in, _ = ek.boundary_velocity(d, N_in, jnp.ones((n,)),
+                                                n_at)
+            wo_entry = jnp.where(refl_in[..., None], v_refl_in,
+                                 normalize(v_refr_in))
+            wo_w = jnp.where(bnd_entry[..., None], wo_entry, wo_w)
+            # --- h-dielectric EXIT (curved march reached the boundary)
+            u_fx, smp = rng.next_1d(smp)
+            cos_x = dot(d_arr_er, N_out)
+            F_x, _ = fresnel_dielectric(-cos_x, n_end_er)
+            v_refr_x, tir_x = ek.boundary_velocity(v_m, N_out, n_end_er,
+                                                   jnp.ones((n,)))
+            refl_x = (u_fx < F_x) | tir_x
+            v_refl_x = v_m - 2.0 * dot(v_m, N_out, keepdims=True) * N_out
+            wo_exit = jnp.where(refl_x[..., None], normalize(v_refl_x),
+                                normalize(v_refr_x))
+            wo_w = jnp.where(exit_er[..., None], wo_exit, wo_w)
+            bnd_any = bnd_entry | exit_er
         # density of regenerating the INCOMING direction from the sampled
         # outgoing one (reverse walk), used for the predecessor's pdf_rev
         pdf_rev_bs = bsdf_m.pdf(scene.bsdfs, b_idx, bs.wo, wi_l, active=act)
-        pdf_rev_ph = phase_m.eval(media.phase, med, -ps.wo, -d, active=pact)
+        pdf_rev_ph = phase_m.eval(media.phase, med, -ps.wo, -d_ph,
+                                  active=pact)
         pdf_rev_dir = jnp.where(scat, pdf_rev_ph, pdf_rev_bs)
         step_w = jnp.where(scat[..., None], ps.weight[..., None], bs.weight)
         step_w = jnp.where(null_srf[..., None], 1.0, step_w)
-        beta_here = beta * dist_w
-        beta_next = beta_here * step_w
         spec = jnp.where(scat, False, jnp.where(null_srf, True, bs.delta))
         pdf_next = jnp.where(scat, ps.pdf,
                              jnp.where(null_srf, 1.0, bs.pdf))
-        cont = valid & (scat | (b_idx >= 0) | null_srf) \
+        if any_er:
+            pdf_rev_dir = jnp.where(bnd_any, 1.0, pdf_rev_dir)
+            step_w = jnp.where(bnd_any[..., None], 1.0, step_w)
+            spec = jnp.where(bnd_any, True, spec)
+            pdf_next = jnp.where(bnd_any, 1.0, pdf_next)
+        beta_here = beta * dist_w
+        beta_next = beta_here * step_w
+        cont = valid & (scat | (b_idx >= 0) | null_srf
+                        | (bnd_any if any_er else False)) \
             & jnp.any(step_w > 0, axis=-1)
 
         # medium transition at surface crossings (incl. null passthrough)
         crossed = valid_srf & (dot(wo_w, hit.ng) * dot(-d, hit.ng) < 0)
         entering = dot(wo_w, hit.ng) < 0
         med_next = jnp.where(crossed, jnp.where(entering, m_in, m_ex), med)
+        if any_er:
+            med_next = jnp.where(exit_er,
+                                 jnp.where(refl_x, med, er_exterior),
+                                 med_next)
 
         is_real = valid & ~null_srf
-        vert = dict(p=p_v, ng=ng_v, d_in=d, beta=beta_here,
+        d_in_rec = jnp.where(er_ln[..., None], d_arr_er, d) if any_er else d
+        vert = dict(p=p_v, ng=ng_v, d_in=d_in_rec, beta=beta_here,
                     pdf_fwd=jnp.where(valid, pdf_fwd, 0.0),
                     pdf_rev_dir=jnp.where(valid, pdf_rev_dir, 0.0),
                     delta=prev_delta, spec=spec,
                     bsdf=b_idx, emitter=e_idx, valid=valid, plen=plen_here,
                     is_med=scat, med=jnp.where(scat, med, med_next),
-                    shape=jnp.where(valid_srf, hit.shape_id, -1),
+                    shape=(jnp.where(exit_er, er_shape,
+                                     jnp.where(valid_srf, hit.shape_id, -1))
+                           if any_er else
+                           jnp.where(valid_srf, hit.shape_id, -1)),
                     seg_psucc=seg_psucc, seg_pfail=seg_pfail,
                     is_real=is_real)
         o2 = p_v + wo_w * eps
+        if any_er:
+            o2 = jnp.where((exit_er & ~refl_x)[..., None],
+                           p_m + N_out * eps + wo_w * eps, o2)
+            o2 = jnp.where((exit_er & refl_x)[..., None],
+                           p_m - N_out * eps + wo_w * eps, o2)
         # carries across null runs: last-real anchor, accumulated
         # fail-probability, arrival-delta passes straight through
         lr_p2 = jnp.where(is_real[..., None], p_v, lr_p)
@@ -508,11 +656,12 @@ def render_bdpt(scene: Scene, cfg: RenderConfig, seed: int = 0,
     from ..scene.types import MED_HETEROGENEOUS as _MH
 
     any_het = bool(np.any(np.asarray(scene.media.kind) == _MH))
+    any_er = bool(np.any(np.asarray(scene.media.kind) == MED_REFRACTIVE))
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def one_pass(scene, eye_img, splat_img, cfg, seed, pass_idx):
         return _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX,
-                          seed, pass_idx, any_het=any_het)
+                          seed, pass_idx, any_het=any_het, any_er=any_er)
 
     nF = cfg.n_frames
     eye = jnp.zeros((npix, 3 * nF), jnp.float32)
@@ -555,7 +704,7 @@ def _nomis():
 
 
 def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
-               any_het=False):
+               any_het=False, any_er=False):
     H, W = cfg.height, cfg.width
     npix = H * W
     n = npix
@@ -563,6 +712,13 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
     cam_p = scene.sensor.to_world[:3, 3]
     act = cfg.bsdf_kinds or None
     bricks = medium_m.DensityBricks(scene.media)
+    if any_er:
+        rif = ek.rif_from_media(scene.media)
+        sdf = ek.sdf_from_media(scene.media)
+        _, sa_er, ss_er, _, er_idx = _refractive_params(scene)
+        st_er = sa_er + ss_er
+        h_bvp = cfg.er_stepsize * cfg.er_bvp_hscale
+        bvp_steps = max(int(cfg.er_maxsteps / cfg.er_bvp_hscale), 16)
     mod_w = None
     if cfg.modulation != "none":
         from ..models import tof as tof_m
@@ -583,7 +739,8 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
     pdf_cam_dir = fs0.inv_pixel_omega
     cam, _, smp = _surface_walk(
         scene, cfg, rays.o, rays.d, jnp.ones((n, 3)), pdf_cam_dir,
-        rays.o, jnp.zeros((n, 3)), smp, T_MAX, eps, any_het=any_het)
+        rays.o, jnp.zeros((n, 3)), smp, T_MAX, eps, any_het=any_het,
+        any_er=any_er)
 
     # ---------------- light subpath ----------------
     light0, d0, smp = _sample_light_vertex(scene, smp)
@@ -598,7 +755,7 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
     lt, rev_lt_origin, smp = _surface_walk(
         scene, cfg, light0.p + d0 * eps, d0, light0.beta1, light0.pdf_dir,
         light0.p, light0.ng, smp, max(S_MAX - 1, 1), eps, med0=med_l0,
-        any_het=any_het)
+        any_het=any_het, any_er=any_er)
 
     F = jnp.zeros((n,), bool)
     ones = jnp.ones((n,))
@@ -678,15 +835,64 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
             d2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
             dist = jnp.sqrt(d2)
             wconn = dvec / dist[..., None]
+            # ---- curved ER connection (edge.cpp:473-643): when either
+            # endpoint is a medium vertex inside the refractive medium, the
+            # straight chord is replaced by the BVP-curved connection; its
+            # exit direction / reverse direction feed the endpoint f terms,
+            # its optical length corrects the transient path length and
+            # refRatioSq compresses radiance (bdpt_proc.cpp:396-399) ----
+            if any_er:
+                z_er = cam.is_med[:, kc] & (cam.med[:, kc] == er_idx)
+                y_er = (lt.is_med[:, kl] & (lt.med[:, kl] == er_idx)) \
+                    if s >= 2 else jnp.zeros((n,), bool)
+                er_conn = ok & (z_er | y_er)
+                from_z = z_er  # solve from the camera side when inside
+                p1 = jnp.where(from_z[..., None], zp, yp)
+                p2 = jnp.where(from_z[..., None], yp, zp)
+                chord = normalize(p2 - p1)
+                seed_er = rng._hash_u32(
+                    smp.lane + smp.seed * jnp.uint32(0xC2B2AE35)
+                    + jnp.uint32(s * 131 + t * 31337))
+                bvp = ek.solve_bvp(
+                    rif, sdf, p1, p2, chord, h_bvp, bvp_steps, er_conn,
+                    tol2=cfg.bvp_tol2, rr_weight=cfg.rr_weight,
+                    seed_bits=seed_er, max_restarts=cfg.bvp_restarts)
+                er_ok = er_conn & bvp.converged
+                # direction leaving z / leaving y along the curved path
+                wz_er = jnp.where(from_z[..., None], bvp.dir_to_target,
+                                  bvp.rev_dir)
+                wy_er = jnp.where(from_z[..., None], bvp.rev_dir,
+                                  bvp.dir_to_target)
+                wconn_z = jnp.where(er_conn[..., None], wz_er, wconn)
+                wconn_y = jnp.where(er_conn[..., None], wy_er, -wconn)
+                g2 = jnp.maximum(bvp.geo_total * bvp.geo_total, 1e-12)
+                # radiance compression (n_receiver/n_source)^2, receiver =
+                # camera side (volpath_er NEE uses (n(z)/1)^2 with z the
+                # receiving scatter vertex; trace_er_particles uses
+                # (1/n(y))^2 with y the emitting vertex — same rule)
+                n_z = jnp.where(z_er,
+                                jnp.maximum(ek.rif_value(rif, zp), 1e-6),
+                                1.0)
+                n_y = jnp.where(y_er,
+                                jnp.maximum(ek.rif_value(rif, yp), 1e-6),
+                                1.0)
+                rr_sq = (n_z / n_y) ** 2
+                tr_er_conn = jnp.exp(
+                    -st_er[None, :] * bvp.geo_inside[..., None]) \
+                    * (rr_sq * bvp.weight)[..., None]
+            else:
+                er_conn = jnp.zeros((n,), bool)
+                er_ok = er_conn
+                wconn_z, wconn_y = wconn, -wconn
             # camera-side f
-            f_c = _bsdf_f_at(scene, cfg, cam, kc, -cam.d_in[:, kc], wconn)
+            f_c = _bsdf_f_at(scene, cfg, cam, kc, -cam.d_in[:, kc], wconn_z)
             # light-side f (and Le for s=1)
             # NOTE bsdf_m.eval returns f * |cos(wo)|, so f_c already carries
             # the camera-side cosine and f_y (s>=2) the light-side cosine;
             # the remaining geometric factor is only the 1/d^2 (+ emission
             # cosine for s=1 area lights, which has no BSDF to carry it)
             if s == 1:
-                cos_y = jnp.maximum(dot(-wconn, light0.ng), 0.0)
+                cos_y = jnp.maximum(dot(wconn_y, light0.ng), 0.0)
                 f_y_over_cos = jnp.where(
                     light0.is_area[..., None],
                     light0.radiance * jnp.where(cos_y > 0, 1.0, 0.0)[..., None],
@@ -698,9 +904,12 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
                 ok = ok & ~light0.delta_pos
             else:
                 f_y_over_cos = _bsdf_f_at(scene, cfg, lt, kl,
-                                          -lt.d_in[:, kl], -wconn)
+                                          -lt.d_in[:, kl], wconn_y)
                 G = 1.0 / d2
                 beta_y = lt.beta[:, kl]
+            if any_er:
+                # curved falloff 1/geo_total^2 replaces 1/d^2
+                G = jnp.where(er_conn, G * d2 / g2, G)
             contrib = (cam.beta[:, kc] * f_c * beta_y * f_y_over_cos
                        * G[..., None])
             any_c = jnp.any(contrib > 0, -1)
@@ -712,25 +921,43 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
                                     cam.ng[:, kc], wconn)
             tr_conn, smp = attenuated_visibility(
                 scene, eps, zp + wconn * eps, wconn, dist - 2 * eps,
-                conn_med, smp, ok, bricks=bricks)
+                conn_med, smp, ok & ~er_conn, bricks=bricks,
+                block_refractive=any_er)
+            if any_er:
+                # curved connections: in-medium transmittance from the BVP
+                # (straight occlusion of the outside tail not re-checked —
+                # matches volpath_er's curved-NEE scope)
+                tr_conn = jnp.where(er_conn[..., None], tr_er_conn, tr_conn)
+                ok = ok & (~er_conn | er_ok)
             contrib = contrib * tr_conn
             ok = ok & jnp.any(tr_conn > 0, -1)
             c_psucc, c_pfail = _seg_pdf_factors(scene, conn_med, dist)
+            if any_er:
+                # ER connection-segment pdf factors at the curved length
+                tmp_er = jnp.exp(
+                    -st_er[None, :] * bvp.geo_inside[..., None])
+                c_psucc = jnp.where(er_conn,
+                                    jnp.mean(st_er[None, :] * tmp_er, -1),
+                                    c_psucc)
+                c_pfail = jnp.where(er_conn, jnp.mean(tmp_er, -1), c_pfail)
 
             # ---- junction reverse pdfs ----
             # z_{t-1} from y_{s-1}
             if s == 1:
-                cos_y1 = jnp.maximum(dot(-wconn, light0.ng), 1e-8)
+                cos_y1 = jnp.maximum(dot(wconn_y, light0.ng), 1e-8)
                 pdf_y_dir = jnp.where(light0.is_area, cos_y1 / jnp.pi,
                                       1.0 / (4.0 * jnp.pi))
             else:
                 pdf_y_dir = _bsdf_pdf_at(scene, cfg, lt, kl,
-                                         -lt.d_in[:, kl], -wconn)
+                                         -lt.d_in[:, kl], wconn_y)
             ov_cam = _to_area(pdf_y_dir, yp, zp, zng,
                               is_med_to=cam.is_med[:, kc]) \
                 * jnp.where(cam.is_med[:, kc], c_psucc, c_pfail)
+            if any_er:
+                # curved measure conversion scales with the curved length
+                ov_cam = jnp.where(er_conn, ov_cam * d2 / g2, ov_cam)
             # z_{t-2} from z_{t-1} (scattering backward given wconn in)
-            pdf_z_back = _bsdf_pdf_at(scene, cfg, cam, kc, wconn,
+            pdf_z_back = _bsdf_pdf_at(scene, cfg, cam, kc, wconn_z,
                                       -cam.d_in[:, kc])
             if t >= 3:
                 ov_cam2 = _to_area(pdf_z_back, zp, cam.p[:, kc - 1],
@@ -742,10 +969,12 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
                 ov_cam2 = ones
             # y_{s-1} from z_{t-1}
             pdf_z_dir = _bsdf_pdf_at(scene, cfg, cam, kc,
-                                     -cam.d_in[:, kc], wconn)
+                                     -cam.d_in[:, kc], wconn_z)
             y_is_med = lt.is_med[:, kl] if s >= 2 else F
             ov_lt = _to_area(pdf_z_dir, zp, yp, yng, is_med_to=y_is_med) \
                 * jnp.where(y_is_med, c_psucc, c_pfail)
+            if any_er:
+                ov_lt = jnp.where(er_conn, ov_lt * d2 / g2, ov_lt)
             # y_{s-2} from y_{s-1}
             if s >= 2:
                 if s == 2:
@@ -754,7 +983,7 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
                 else:
                     prev_lp, prev_lng = lt.p[:, kl - 1], lt.ng[:, kl - 1]
                     prev_l_med = lt.is_med[:, kl - 1]
-                pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, -wconn,
+                pdf_y_back = _bsdf_pdf_at(scene, cfg, lt, kl, wconn_y,
                                           -lt.d_in[:, kl])
                 ov_lt2 = _to_area(pdf_y_back, yp, prev_lp, prev_lng,
                                   is_med_to=prev_l_med) \
@@ -765,7 +994,11 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
             w = ones if _nomis() else _mis_weight(
                 scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
                 ov_lt2, rev_lt_origin, npix)
-            plen_tot = cam.plen[:, kc] + dist + \
+            conn_len = dist
+            if any_er:
+                # optical connection length (bdpt_proc.cpp:396-399)
+                conn_len = jnp.where(er_conn, bvp.opt_len, dist)
+            plen_tot = cam.plen[:, kc] + conn_len + \
                 (lt.plen[:, kl] if s >= 2 else 0.0)
             val = contrib * w[..., None]
             if mod_w is not None:
@@ -795,8 +1028,30 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
         d2 = jnp.maximum(jnp.sum(to_c * to_c, -1), 1e-12)
         dist = jnp.sqrt(d2)
         d_c = to_c / dist[..., None]
-        fs = sensor_m.project(scene.sensor, yp, W, H)
-        ok = ok & fs.valid
+        if any_er and s >= 2:
+            # curved sensor-side connection from an in-medium light vertex
+            # (edge.cpp:535-543 h-dielectric sensor-direct support; the
+            # splat pixel comes from the ARRIVAL direction at the camera)
+            y_er1 = ok & lt.is_med[:, kl] & (lt.med[:, kl] == er_idx)
+            seed_t1 = rng._hash_u32(
+                smp.lane + smp.seed * jnp.uint32(0x85EBCA6B)
+                + jnp.uint32(s * 977 + 13))
+            bvp1 = ek.solve_bvp(
+                rif, sdf, yp, jnp.broadcast_to(cam_p, (n, 3)), d_c,
+                h_bvp, bvp_steps, y_er1, tol2=cfg.bvp_tol2,
+                rr_weight=cfg.rr_weight, seed_bits=seed_t1,
+                max_restarts=cfg.bvp_restarts)
+            y_er1_ok = y_er1 & bvp1.converged
+            d_c = jnp.where(y_er1[..., None], bvp1.dir_to_target, d_c)
+            d_arr1 = -bvp1.rev_dir
+            proj_p = jnp.where(y_er1[..., None],
+                               jnp.broadcast_to(cam_p, (n, 3)) - d_arr1, yp)
+            fs = sensor_m.project(scene.sensor, proj_p, W, H)
+            ok = ok & fs.valid & (~y_er1 | y_er1_ok)
+        else:
+            y_er1 = jnp.zeros((n,), bool)
+            fs = sensor_m.project(scene.sensor, yp, W, H)
+            ok = ok & fs.valid
         if s == 1:
             # y_0 itself: emitted radiance toward the camera over pdf_pos
             cos_y0 = jnp.maximum(dot(d_c, light0.ng), 0.0)
@@ -816,16 +1071,33 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
             yng, d_c)
         tr_c, smp = attenuated_visibility(
             scene, eps, yp + d_c * eps, d_c, dist - 2 * eps, conn_med, smp,
-            ok, bricks=bricks)
+            ok & ~y_er1, bricks=bricks, block_refractive=any_er)
+        geom_t1 = fs.inv_pixel_omega / d2
+        if any_er and s >= 2:
+            tr_er1 = jnp.exp(-st_er[None, :] * bvp1.geo_inside[..., None])
+            n_y1 = jnp.maximum(ek.rif_value(rif, yp), 1e-6)
+            tr_er1 = tr_er1 * ((1.0 / n_y1) ** 2 * bvp1.weight)[..., None]
+            tr_c = jnp.where(y_er1[..., None], tr_er1, tr_c)
+            geom_t1 = jnp.where(
+                y_er1, fs.inv_pixel_omega
+                / jnp.maximum(bvp1.geo_total ** 2, 1e-9), geom_t1)
         ok = ok & jnp.any(tr_c > 0, -1)
-        val = (beta_y * f_y * tr_c
-               * (fs.inv_pixel_omega / d2)[..., None])
+        val = (beta_y * f_y * tr_c * geom_t1[..., None])
         c_psucc, c_pfail = _seg_pdf_factors(scene, conn_med, dist)
+        if any_er and s >= 2:
+            tmp1 = jnp.exp(-st_er[None, :] * bvp1.geo_inside[..., None])
+            c_psucc = jnp.where(y_er1,
+                                jnp.mean(st_er[None, :] * tmp1, -1), c_psucc)
+            c_pfail = jnp.where(y_er1, jnp.mean(tmp1, -1), c_pfail)
         # junction pdfs: y_{s-1} regenerated from the camera
         pdf_cam_dir2 = fs.inv_pixel_omega
         ov_lt = _to_area(pdf_cam_dir2, jnp.broadcast_to(cam_p, (n, 3)),
                          yp, yng, is_med_to=y_is_med) \
             * jnp.where(y_is_med, c_psucc, c_pfail)
+        if any_er and s >= 2:
+            ov_lt = jnp.where(
+                y_er1, ov_lt * d2 / jnp.maximum(bvp1.geo_total ** 2, 1e-9),
+                ov_lt)
         if s >= 3:
             prev_lp, prev_lng = ((light0.p, light0.ng) if s == 3 else
                                  (lt.p[:, kl - 1], lt.ng[:, kl - 1]))
@@ -848,7 +1120,10 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
         w = ones if _nomis() else _mis_weight(
             scene, cam, lt, light0, s, 1, ones, ones, ov_lt, ov_lt2,
             rev_lt_origin, npix)
-        plen_tot = (lt.plen[:, kl] if s >= 2 else 0.0) + dist
+        conn_len1 = dist
+        if any_er and s >= 2:
+            conn_len1 = jnp.where(y_er1, bvp1.opt_len, dist)
+        plen_tot = (lt.plen[:, kl] if s >= 2 else 0.0) + conn_len1
         val = val * w[..., None]
         if mod_w is not None:
             val = val * mod_w(plen_tot)[..., None]

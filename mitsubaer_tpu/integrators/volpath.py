@@ -85,10 +85,13 @@ def segment_transmittance(scene, medium_idx, o, d, dist, smp, active,
 
 def attenuated_visibility(scene, eps, o, d, dist, medium_idx, smp, active,
                           max_crossings: int = 4, differentiable: bool = False,
-                          bricks=None):
+                          bricks=None, block_refractive: bool = False):
     """Transmittance along a shadow segment, walking through null medium
     boundaries (Scene::evalTransmittanceAll, scene.cpp:762). Opaque surfaces
-    block (returns 0)."""
+    block (returns 0). With block_refractive, a boundary whose far side is a
+    refractive (eikonal) medium also blocks: straight-line transmittance is
+    meaningless there — the curved-connection BVP owns those segments
+    (edge.cpp:473 pathConnectAndCollapse medium-consistency checks)."""
     n = o.shape[0]
 
     def body(carry):
@@ -103,6 +106,17 @@ def attenuated_visibility(scene, eps, o, d, dist, medium_idx, smp, active,
 
         b_idx, _, m_in, m_ex = _shape_tables(scene, hit.shape_id)
         is_null = _is_null_surface(scene, b_idx)
+        if block_refractive:
+            from ..scene.types import MED_REFRACTIVE
+            nm = scene.media.kind.shape[0]
+            ref_in = smalltab.take(scene.media.kind,
+                                   jnp.clip(m_in, 0, nm - 1)) \
+                == MED_REFRACTIVE
+            ref_ex = smalltab.take(scene.media.kind,
+                                   jnp.clip(m_ex, 0, nm - 1)) \
+                == MED_REFRACTIVE
+            is_null = is_null & ~((m_in >= 0) & ref_in) \
+                & ~((m_ex >= 0) & ref_ex)
         blocked = running & hit.valid & ~is_null
         tr = jnp.where(blocked[..., None], 0.0, tr)
 
