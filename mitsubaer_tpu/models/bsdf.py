@@ -31,10 +31,13 @@ from ..core.math import (
     safe_sqrt,
 )
 from ..scene.types import (
+    BSDF_COATING,
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFTRANS,
     BSDF_HK,
+    BSDF_ROUGHCOATING,
+    BSDF_ROUGHDIFFUSE,
     BSDF_DIFFUSE,
     BSDF_HDIELECTRIC,
     BSDF_HROUGHDIELECTRIC,
@@ -181,6 +184,26 @@ def _on(active, *ks):
     return active is None or any(k in active for k in ks)
 
 
+def _oren_nayar_factor(wi, wo, sigma):
+    """Fast Oren-Nayar factor A + B max(0, cos(phi_i - phi_o)) sinA tanB
+    (roughdiffuse.cpp:159-174); sigma in radians-of-slope units."""
+    s2 = sigma * sigma
+    A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    B = 0.45 * s2 / (s2 + 0.09)
+    ci, co = jnp.abs(cos_theta(wi)), jnp.abs(cos_theta(wo))
+    si = safe_sqrt(1.0 - ci * ci)
+    so = safe_sqrt(1.0 - co * co)
+    # cos(phi_i - phi_o) from the tangential projections
+    denom = jnp.maximum(si * so, 1e-7)
+    cos_dphi = jnp.clip(
+        (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom,
+        -1.0, 1.0)
+    sin_alpha = jnp.where(ci > co, so, si)
+    tan_beta = jnp.where(ci > co, si / jnp.maximum(ci, 1e-6),
+                         so / jnp.maximum(co, 1e-6))
+    return A + B * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta
+
+
 def _eval_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
                active=None):
     kind, refl, spec_r, spec_t, eta, ceta, ck, alpha, expn = _params(
@@ -196,6 +219,15 @@ def _eval_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
     out = zero
     if _on(active, BSDF_DIFFUSE):
         out = jnp.where((kind == BSDF_DIFFUSE)[..., None], f_diffuse, out)
+
+    if _on(active, BSDF_ROUGHDIFFUSE):
+        # Oren-Nayar qualitative model, fast variant
+        # (roughdiffuse.cpp:159-174): sigma = alpha,
+        # A = 1 - sigma^2/(2(sigma^2+0.33)), B = 0.45 sigma^2/(sigma^2+0.09)
+        out = jnp.where((kind == BSDF_ROUGHDIFFUSE)[..., None],
+                        refl * (_oren_nayar_factor(wi, wo, alpha)
+                                * INV_PI * jnp.maximum(co, 0.0))[..., None],
+                        out)
 
     if _on(active, BSDF_PLASTIC, BSDF_ROUGHPLASTIC):
         # plastic: diffuse part attenuated by (1-Fi)(1-Fo) with internal
@@ -340,6 +372,8 @@ def _pdf_base(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
 
     p_cos = warp.square_to_cosine_hemisphere_pdf(wo)
     out = jnp.where(kind == BSDF_DIFFUSE, p_cos, 0.0)
+    if _on(active, BSDF_ROUGHDIFFUSE):
+        out = jnp.where(kind == BSDF_ROUGHDIFFUSE, p_cos, out)
 
     if _on(active, BSDF_ROUGHCONDUCTOR, BSDF_ROUGHPLASTIC):
         m = normalize(wi + wo)
@@ -553,6 +587,13 @@ def _sample_base(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
         w_d[BSDF_DIFFTRANS] = refl
         p_d[BSDF_DIFFTRANS] = pdf_diff
 
+    if _on(active, BSDF_ROUGHDIFFUSE):
+        # cosine proposal; weight = f/(p cos) = refl * Oren-Nayar factor
+        wo_d[BSDF_ROUGHDIFFUSE] = wo_diff
+        w_d[BSDF_ROUGHDIFFUSE] = refl * _oren_nayar_factor(
+            wi, wo_diff, alpha)[..., None]
+        p_d[BSDF_ROUGHDIFFUSE] = pdf_diff
+
     hk_delta = None
     if _on(active, BSDF_HK):
         # HK (hk.cpp): with prob q_delta take the attenuated straight-
@@ -714,16 +755,196 @@ def _sample_base(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
 
 
 # --------------------------------------------------------------------------
-# Public API: base lobes + one level of wrapper kinds
-# (twosided.cpp, mixturebsdf.cpp/blendbsdf.cpp)
+# Dielectric coating wrapper (coating.cpp / roughcoating.cpp): a smooth (or
+# GGX-rough) dielectric layer of IOR `eta` over the nested BSDF `child0`,
+# with absorption optical depth sigmaA*thickness packed in `specular_t`.
+# Directions refract into the coat before hitting the nested BSDF
+# (refractIn, coating.cpp:208) and the nested value/pdf pick up the
+# invEta^2 cos(wo)/cos(wo') solid-angle compression (coating.cpp eval/pdf).
 # --------------------------------------------------------------------------
+def _refract_into(w, eta):
+    """Map a direction to its continuation inside the coat (same side);
+    returns (w_inside, Fresnel R, TIR). coating.cpp:208 refractIn."""
+    cw = cos_theta(w)
+    F, cos_t = fresnel_dielectric(jnp.abs(cw), eta)
+    inv_eta = 1.0 / eta
+    wp = jnp.stack([inv_eta * w[..., 0], inv_eta * w[..., 1],
+                    -jnp.sign(cw) * cos_t], axis=-1)
+    return wp, F, cos_t == 0.0
+
+
+def _refract_outof(w, eta):
+    """Coat -> exterior (refractOut, coating.cpp:215)."""
+    cw = cos_theta(w)
+    F, cos_t = fresnel_dielectric(jnp.abs(cw), 1.0 / eta)
+    wp = jnp.stack([eta * w[..., 0], eta * w[..., 1],
+                    -jnp.sign(cw) * cos_t], axis=-1)
+    return wp, F, cos_t == 0.0
+
+
+def _coat_rows(bs: BSDFs, idx):
+    i = jnp.clip(idx, 0, bs.kind.shape[0] - 1)
+    kind = jnp.where(idx >= 0, smalltab.take(bs.kind, i), BSDF_NULL)
+    is_coat = (kind == BSDF_COATING) | (kind == BSDF_ROUGHCOATING)
+    is_rough = kind == BSDF_ROUGHCOATING
+    child = smalltab.take(bs.child0, i)
+    eta = jnp.maximum(smalltab.take(bs.eta, i), 1.0 + 1e-4)
+    spec_r = smalltab.take(bs.specular_r, i)
+    sigd = smalltab.take(bs.specular_t, i)       # sigmaA * thickness
+    alpha = smalltab.take(bs.alpha, i)
+    child_refl = smalltab.take(bs.reflectance,
+                               jnp.clip(child, 0, bs.kind.shape[0] - 1))
+    sw = jnp.max(spec_r, axis=-1) / jnp.maximum(
+        jnp.max(spec_r, axis=-1) + jnp.max(child_refl, axis=-1), 1e-12)
+    return is_coat, is_rough, child, eta, spec_r, sigd, alpha, sw
+
+
+def _coat_absorb(sigd, wip, wop):
+    return jnp.exp(-sigd * (1.0 / jnp.maximum(abs_cos_theta(wip), 1e-6)
+                            + 1.0 / jnp.maximum(abs_cos_theta(wop), 1e-6)
+                            )[..., None])
+
+
+def _coating_eval(bs: BSDFs, idx, wi, wo, f_base, active=None):
+    is_coat, is_rough, child, eta, spec_r, sigd, alpha, _ = _coat_rows(
+        bs, idx)
+    wip, R12, t1 = _refract_into(wi, eta)
+    wop, R21, t2 = _refract_into(wo, eta)
+    f_n = _eval_base(bs, jnp.where(is_coat, child, -1), wip, wop,
+                     active=active)
+    conv = (1.0 / (eta * eta)) * jnp.abs(cos_theta(wo)) \
+        / jnp.maximum(abs_cos_theta(wop), 1e-6)
+    f_c = f_n * ((1.0 - R12) * (1.0 - R21) * conv)[..., None] \
+        * _coat_absorb(sigd, wip, wop)
+    f_c = jnp.where((t1 | t2)[..., None], 0.0, f_c)
+    if _on(active, BSDF_ROUGHCOATING):
+        # GGX specular reflection on the rough coat (roughcoating.cpp)
+        ci, co = cos_theta(wi), cos_theta(wo)
+        m = normalize(wi + wo)
+        m = jnp.where((ci < 0)[..., None], -m, m)
+        D = _ggx_d(m, alpha)
+        G = _ggx_g1(wi, m, alpha) * _ggx_g1(wo, m, alpha)
+        Fm = fresnel_dielectric(dot(wi, m), eta)[0]
+        f_s = spec_r * (Fm * D * G
+                        / jnp.maximum(4.0 * jnp.abs(ci), 1e-12))[..., None]
+        f_c = jnp.where((is_rough & (ci * co > 0))[..., None], f_c + f_s,
+                        f_c)
+    return jnp.where(is_coat[..., None], f_c, f_base)
+
+
+def _coating_pdf(bs: BSDFs, idx, wi, wo, p_base, active=None):
+    is_coat, is_rough, child, eta, spec_r, sigd, alpha, sw = _coat_rows(
+        bs, idx)
+    wip, R12, t1 = _refract_into(wi, eta)
+    wop, R21, t2 = _refract_into(wo, eta)
+    prob_s = (R12 * sw) / jnp.maximum(
+        R12 * sw + (1.0 - R12) * (1.0 - sw), 1e-9)
+    p_n = _pdf_base(bs, jnp.where(is_coat, child, -1), wip, wop,
+                    active=active)
+    conv = (1.0 / (eta * eta)) * jnp.abs(cos_theta(wo)) \
+        / jnp.maximum(abs_cos_theta(wop), 1e-6)
+    p_c = p_n * conv * (1.0 - prob_s)
+    p_c = jnp.where(t1 | t2, 0.0, p_c)
+    if _on(active, BSDF_ROUGHCOATING):
+        ci = cos_theta(wi)
+        m = normalize(wi + wo)
+        m = jnp.where((ci < 0)[..., None], -m, m)
+        p_spec = _ggx_pdf_m(m, alpha) / jnp.maximum(
+            4.0 * jnp.abs(dot(wo, m)), 1e-12)
+        p_c = jnp.where(is_rough, p_c + prob_s * p_spec, p_c)
+    return jnp.where(is_coat, p_c, p_base)
+
+
+def _coating_sample(bs: BSDFs, idx, wi, u2, u1, res: "BSDFSample",
+                    active=None) -> "BSDFSample":
+    is_coat, is_rough, child, eta, spec_r, sigd, alpha, sw = _coat_rows(
+        bs, idx)
+    wip, R12, t1 = _refract_into(wi, eta)
+    prob_s = (R12 * sw) / jnp.maximum(
+        R12 * sw + (1.0 - R12) * (1.0 - sw), 1e-9)
+    chose_s = u1 < prob_s
+    u1r = jnp.clip((u1 - prob_s) / jnp.maximum(1.0 - prob_s, 1e-9),
+                   0.0, 0.9999994)
+    # --- nested branch: sample the child with the refracted incident ---
+    res_n = _sample_base(bs, jnp.where(is_coat, child, -1), wip, u2, u1r,
+                         active=active)
+    wo_out, R21, t2 = _refract_outof(res_n.wo, eta)
+    w_n = res_n.weight * ((1.0 - R12) * (1.0 - R21)
+                          / jnp.maximum(1.0 - prob_s, 1e-9))[..., None] \
+        * _coat_absorb(sigd, wip, res_n.wo)
+    conv = (1.0 / (eta * eta)) * jnp.abs(cos_theta(wo_out)) \
+        / jnp.maximum(abs_cos_theta(res_n.wo), 1e-6)
+    p_nn = res_n.pdf * (1.0 - prob_s) * conv
+    bad_n = t1 | t2
+    w_n = jnp.where(bad_n[..., None], 0.0, w_n)
+    # --- specular branch ---
+    ci = cos_theta(wi)
+    if _on(active, BSDF_ROUGHCOATING):
+        m_s = _ggx_sample(alpha, u2)
+        m_s = jnp.where((ci < 0)[..., None], -m_s, m_s)
+    else:
+        m_s = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                               wi.shape).astype(wi.dtype)
+        m_s = jnp.where((ci < 0)[..., None], -m_s, m_s)
+    wo_s = 2.0 * dot(wi, m_s, keepdims=True) * m_s - wi
+    wo_c = jnp.where(chose_s[..., None], wo_s, wo_out)
+    smooth_spec = chose_s & ~is_rough
+    if _on(active, BSDF_ROUGHCOATING):
+        # non-delta: weight = f/p at the sampled direction
+        f_all = _coating_eval(bs, idx, wi, wo_c, jnp.zeros_like(w_n),
+                              active=active)
+        p_all = _coating_pdf(bs, idx, wi, wo_c, jnp.zeros_like(p_nn),
+                             active=active)
+        w_rough_c = f_all / jnp.maximum(p_all, 1e-12)[..., None]
+    else:
+        w_rough_c = w_n
+        p_all = p_nn
+    w_spec_smooth = spec_r * (R12 / jnp.maximum(prob_s, 1e-9))[..., None]
+    w_c = jnp.where(smooth_spec[..., None], w_spec_smooth,
+                    jnp.where(is_rough[..., None], w_rough_c, w_n))
+    p_c = jnp.where(smooth_spec, prob_s,
+                    jnp.where(is_rough, p_all, p_nn))
+    delta_c = jnp.where(smooth_spec, True,
+                        jnp.where(is_rough, False, res_n.delta))
+    bad = jnp.all(w_c == 0.0, axis=-1) | (p_c <= 0.0)
+    w_c = jnp.where(bad[..., None], 0.0, w_c)
+    return BSDFSample(
+        wo=jnp.where(is_coat[..., None], wo_c, res.wo),
+        weight=jnp.where(is_coat[..., None], w_c, res.weight),
+        pdf=jnp.where(is_coat, p_c, res.pdf),
+        delta=jnp.where(is_coat, delta_c, res.delta),
+        eta=jnp.where(is_coat, 1.0, res.eta),
+        null_passthrough=jnp.where(is_coat, False, res.null_passthrough),
+    )
+
+
+# --------------------------------------------------------------------------
+# Public API: base lobes + one level of wrapper kinds
+# (twosided.cpp, mixturebsdf.cpp/blendbsdf.cpp, coating.cpp)
+# --------------------------------------------------------------------------
+def _eval_full(bs, idx, wi, wo, eta_override=None, refl_scale=None,
+               active=None):
+    f = _eval_base(bs, idx, wi, wo, eta_override, refl_scale, active)
+    if _on(active, BSDF_COATING, BSDF_ROUGHCOATING):
+        f = _coating_eval(bs, idx, wi, wo, f, active)
+    return f
+
+
+def _pdf_full(bs, idx, wi, wo, eta_override=None, refl_scale=None,
+              active=None):
+    p = _pdf_base(bs, idx, wi, wo, eta_override, refl_scale, active)
+    if _on(active, BSDF_COATING, BSDF_ROUGHCOATING):
+        p = _coating_pdf(bs, idx, wi, wo, p, active)
+    return p
+
+
 def eval(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
          active=None):
     idx_a, idx_b, w_a, wi2, flip = _wrapper_resolve(bs, idx, wi, active)
     wo2 = jnp.where(flip[..., None], wo * _FLIP_Z, wo)
-    f = _eval_base(bs, idx_a, wi2, wo2, eta_override, refl_scale, active)
+    f = _eval_full(bs, idx_a, wi2, wo2, eta_override, refl_scale, active)
     if _on(active, BSDF_MIXTURE):
-        f_b = _eval_base(bs, idx_b, wi2, wo2, eta_override, refl_scale,
+        f_b = _eval_full(bs, idx_b, wi2, wo2, eta_override, refl_scale,
                          active)
         f = w_a[..., None] * f + (1.0 - w_a)[..., None] * f_b
     return f
@@ -733,9 +954,9 @@ def pdf(bs: BSDFs, idx, wi, wo, eta_override=None, refl_scale=None,
         active=None):
     idx_a, idx_b, w_a, wi2, flip = _wrapper_resolve(bs, idx, wi, active)
     wo2 = jnp.where(flip[..., None], wo * _FLIP_Z, wo)
-    p = _pdf_base(bs, idx_a, wi2, wo2, eta_override, refl_scale, active)
+    p = _pdf_full(bs, idx_a, wi2, wo2, eta_override, refl_scale, active)
     if _on(active, BSDF_MIXTURE):
-        p_b = _pdf_base(bs, idx_b, wi2, wo2, eta_override, refl_scale,
+        p_b = _pdf_full(bs, idx_b, wi2, wo2, eta_override, refl_scale,
                         active)
         p = w_a * p + (1.0 - w_a) * p_b
     return p
@@ -778,5 +999,7 @@ def sample(bs: BSDFs, idx, wi, u2, u1, eta_override=None,
     else:
         res = _sample_base(bs, idx_a, wi2, u2, u1, eta_override,
                            refl_scale, active, u_op)
+    if _on(active, BSDF_COATING, BSDF_ROUGHCOATING):
+        res = _coating_sample(bs, idx_a, wi2, u2, u1, res, active)
     wo_out = jnp.where(flip[..., None], res.wo * _FLIP_Z, res.wo)
     return res._replace(wo=wo_out)

@@ -33,6 +33,9 @@ BSDF_HROUGHDIELECTRIC = 14  # rough dielectric w/ RIF-queried eta (hroughdielect
 BSDF_MIXTURE = 15         # convex combination of two base BSDFs (mixturebsdf.cpp/blendbsdf.cpp)
 BSDF_TWOSIDED = 16        # twosided.cpp wrapper: child0 shaded on both faces
 BSDF_HK = 17              # Hanrahan-Krueger thin-slab single scattering
+BSDF_ROUGHDIFFUSE = 18    # Oren-Nayar rough diffuse (roughdiffuse.cpp)
+BSDF_COATING = 19         # smooth dielectric coat over child0 (coating.cpp)
+BSDF_ROUGHCOATING = 20    # GGX-rough coat over child0 (roughcoating.cpp)
 #   (hk.cpp): specular_r = sigma_s, specular_t = sigma_a,
 #   alpha = slab thickness, mix_w = HG g; single-scatter reflection +
 #   transmission lobes and attenuated delta straight-through

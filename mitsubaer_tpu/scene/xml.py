@@ -26,7 +26,9 @@ from .build import SceneBuilder
 
 _BSDF_KINDS = {
     "diffuse": T.BSDF_DIFFUSE,
-    "roughdiffuse": T.BSDF_DIFFUSE,
+    "roughdiffuse": T.BSDF_ROUGHDIFFUSE,
+    "coating": T.BSDF_COATING,
+    "roughcoating": T.BSDF_ROUGHCOATING,
     "dielectric": T.BSDF_DIELECTRIC,
     "thindielectric": T.BSDF_THINDIELECTRIC,
     "roughdielectric": T.BSDF_ROUGHDIELECTRIC,
@@ -266,7 +268,31 @@ class XMLLoader:
                 if bsdf_id:
                     self.bsdf_ids[bsdf_id] = idx
                 return idx
-        if t in ("bumpmap", "normalmap", "coating", "roughcoating"):
+        if t in ("coating", "roughcoating"):
+            # dielectric coat wrapping the nested BSDF (coating.cpp)
+            child_idx = -1
+            for c in node:
+                if c.tag == "bsdf":
+                    child_idx = self._bsdf(c, None)
+            p = _props(node)
+            int_ior = p.get("intIOR", 1.5046)
+            ext_ior = p.get("extIOR", 1.000277)
+            if isinstance(int_ior, str):
+                int_ior = _IOR_NAMES.get(int_ior.lower(), 1.5046)
+            if isinstance(ext_ior, str):
+                ext_ior = _IOR_NAMES.get(ext_ior.lower(), 1.000277)
+            sig = np.asarray(p.get("sigmaA", 0.0), np.float32) \
+                * float(p.get("thickness", 1.0))
+            sig = np.broadcast_to(np.atleast_1d(sig), (3,))
+            idx = self.b.add_bsdf(
+                _BSDF_KINDS[t], child0=child_idx,
+                eta=float(int_ior) / float(ext_ior),
+                specular_t=tuple(sig),
+                alpha=float(p.get("alpha", 0.1)))
+            if bsdf_id:
+                self.bsdf_ids[bsdf_id] = idx
+            return idx
+        if t in ("bumpmap", "normalmap"):
             # unwrap adapters to the nested BSDF
             for c in node:
                 if c.tag == "bsdf":
