@@ -99,6 +99,14 @@ def li(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None):
         bsdf_idx = smalltab.take(scene.shapes.bsdf, jnp.clip(hit.shape_id, 0, scene.shapes.bsdf.shape[0] - 1))
         bsdf_idx = jnp.where(hit.shape_id >= 0, bsdf_idx, -1)
         frame = Frame.from_normal(ng)
+        # normal/bump-mapped shading frame (normalmap.cpp, bumpmap.cpp):
+        # perturb in the UV-aligned tangent frame and rebuild the frame
+        # around the world-space shading normal (cfg.has_normal_tex static)
+        n_pert = texture_m.shading_normal(scene, bsdf_idx, hit.tex_uv,
+                                          enabled=cfg.has_normal_tex)
+        if n_pert is not None:
+            tf_frame = texture_m.uv_tangent_frame(scene, hit)
+            frame = Frame.from_normal(normalize(tf_frame.to_world(n_pert)))
         wi = frame.to_local(-s.d)
         act = cfg.bsdf_kinds or None
         rscale = texture_m.bsdf_refl_scale(scene, bsdf_idx, hit.tex_uv,

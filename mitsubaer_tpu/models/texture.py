@@ -14,8 +14,10 @@ import jax.numpy as jnp
 from ..core import smalltab
 from ..scene.types import (
     TEX_BITMAP,
+    TEX_BUMPMAP,
     TEX_CHECKERBOARD,
     TEX_GRIDTEXTURE,
+    TEX_NORMALMAP,
     TEX_SCALE,
     TEX_WIREFRAME,
     Textures,
@@ -88,6 +90,98 @@ def eval_texture(tex: Textures, tex_idx, uv, bary=None):
     out = jnp.where(((kind == TEX_BITMAP) | (kind == TEX_SCALE))[..., None],
                     v_bitmap, out)
     return out
+
+
+def _bitmap_bilinear(tex: Textures, i, st):
+    Hb, Wb = tex.bitmap.shape[:2]
+    img = tex.bitmap.reshape(-1, 3)
+    x = (st[..., 0] % 1.0) * Wb - 0.5
+    y = (st[..., 1] % 1.0) * Hb - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    p00 = jnp.take(img, (y0 % Hb) * Wb + x0 % Wb, axis=0)
+    p10 = jnp.take(img, (y0 % Hb) * Wb + (x0 + 1) % Wb, axis=0)
+    p01 = jnp.take(img, ((y0 + 1) % Hb) * Wb + x0 % Wb, axis=0)
+    p11 = jnp.take(img, ((y0 + 1) % Hb) * Wb + (x0 + 1) % Wb, axis=0)
+    return ((p00 * (1 - fx) + p10 * fx) * (1 - fy)
+            + (p01 * (1 - fx) + p11 * fx) * fy)
+
+
+def shading_normal(scene, b_idx, uv, enabled=True):
+    """Tangent-space shading normal from the BSDF's normal_tex row
+    (normalmap.cpp: n = 2*rgb - 1; bumpmap.cpp: n from the height-field uv
+    gradient, strength = color0[0]). Returns (N, 3) unit local normals or
+    None when the scene carries no perturbation (static gate)."""
+    bs = scene.bsdfs
+    if not enabled or getattr(bs, "normal_tex", None) is None:
+        return None
+    tex = scene.textures
+    nb = bs.kind.shape[0]
+    bi = jnp.clip(b_idx, 0, nb - 1)
+    t_idx = jnp.where(b_idx >= 0, smalltab.take(bs.normal_tex, bi), -1)
+    nt = tex.kind.shape[0]
+    i = jnp.clip(t_idx, 0, nt - 1)
+    kind = jnp.where(t_idx >= 0, smalltab.take(tex.kind, i), -1)
+    scale = smalltab.take(tex.uv_scale, i)
+    offset = smalltab.take(tex.uv_offset, i)
+    strength = smalltab.take(tex.color0, i)[..., 0]
+    st = uv * scale + offset
+
+    rgb = _bitmap_bilinear(tex, i, st)
+    n_nm = rgb * 2.0 - 1.0
+
+    # bumpmap: central-difference height gradient in texel units
+    Hb, Wb = tex.bitmap.shape[:2]
+    du = jnp.stack([jnp.full(st.shape[:-1], 1.0 / Wb),
+                    jnp.zeros(st.shape[:-1])], axis=-1)
+    dv = jnp.stack([jnp.zeros(st.shape[:-1]),
+                    jnp.full(st.shape[:-1], 1.0 / Hb)], axis=-1)
+    h = lambda s: jnp.mean(_bitmap_bilinear(tex, i, s), axis=-1)
+    dhdu = (h(st + du) - h(st - du)) * (0.5 * Wb)
+    dhdv = (h(st + dv) - h(st - dv)) * (0.5 * Hb)
+    n_bm = jnp.stack([-strength * dhdu, -strength * dhdv,
+                      jnp.ones_like(dhdu)], axis=-1)
+
+    n_loc = jnp.where((kind == TEX_BUMPMAP)[..., None], n_bm,
+                      jnp.where((kind == TEX_NORMALMAP)[..., None], n_nm,
+                                jnp.array([0.0, 0.0, 1.0])))
+    n_loc = n_loc / jnp.maximum(
+        jnp.linalg.norm(n_loc, axis=-1, keepdims=True), 1e-6)
+    # keep the perturbed normal in the upper hemisphere of the frame
+    flip = n_loc[..., 2] < 1e-3
+    return jnp.where(flip[..., None], jnp.array([0.0, 0.0, 1.0]), n_loc)
+
+
+def uv_tangent_frame(scene, hit):
+    """UV-aligned shading frame at triangle hits (trimesh.cpp tangent
+    computation): dp/du from the edge/uv-edge system, orthonormalized
+    against the geometric normal. Falls back to the arbitrary
+    Frame.from_normal basis on spheres / degenerate uv charts."""
+    from ..core.math import Frame, coordinate_system, dot, normalize
+
+    geo = scene.geo
+    nt = geo.v0.shape[0]
+    is_tri = hit.prim < (1 << 30)
+    ti = jnp.clip(jnp.where(is_tri, hit.prim, 0), 0, nt - 1)
+    e1 = jnp.take(geo.e1, ti, axis=0)
+    e2 = jnp.take(geo.e2, ti, axis=0)
+    u1 = jnp.take(geo.uve1, ti, axis=0)
+    u2 = jnp.take(geo.uve2, ti, axis=0)
+    det = u1[..., 0] * u2[..., 1] - u2[..., 0] * u1[..., 1]
+    ok = is_tri & (jnp.abs(det) > 1e-12)
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    dpdu = (u2[..., 1:2] * e1 - u1[..., 1:2] * e2) * inv[..., None]
+    n = hit.ng
+    t = dpdu - dot(dpdu, n, keepdims=True) * n
+    tlen = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    ok = ok & (tlen[..., 0] > 1e-9)
+    t = t / jnp.maximum(tlen, 1e-12)
+    s0, t0 = coordinate_system(n)
+    s_ax = jnp.where(ok[..., None], t, s0)
+    t_ax = jnp.where(ok[..., None], jnp.cross(n, t), t0)
+    return Frame(s_ax, t_ax, n)
 
 
 def bsdf_refl_scale(scene, b_idx, uv, bary=None, enabled=True):

@@ -38,6 +38,7 @@ class _BSDF:
     child0: int = -1
     child1: int = -1
     mix_w: float = 0.5
+    normal_tex: int = -1
 
 
 @dataclass
@@ -366,6 +367,7 @@ class SceneBuilder:
             child0=jnp.asarray(np.array([b.child0 for b in self._bsdfs], np.int32)),
             child1=jnp.asarray(np.array([b.child1 for b in self._bsdfs], np.int32)),
             mix_w=jnp.asarray(np.array([b.mix_w for b in self._bsdfs], np.float32)),
+            normal_tex=jnp.asarray(np.array([b.normal_tex for b in self._bsdfs], np.int32)),
         )
         _wrap = (T.BSDF_MIXTURE, T.BSDF_TWOSIDED)
         for b in self._bsdfs:
@@ -395,6 +397,7 @@ class SceneBuilder:
         self.config = self.config._replace(
             bsdf_kinds=tuple(sorted(kinds)),
             has_textures=any(b.texture >= 0 for b in self._bsdfs),
+            has_normal_tex=any(b.normal_tex >= 0 for b in self._bsdfs),
             medium_strategies=any(
                 m.strategy != T.STRAT_BALANCE for m in self._media),
             phase_kinds=tuple(sorted({m.phase_kind for m in self._media}))

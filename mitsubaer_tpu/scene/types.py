@@ -47,6 +47,9 @@ TEX_GRIDTEXTURE = 1
 TEX_BITMAP = 2
 TEX_WIREFRAME = 3
 TEX_SCALE = 4          # scale.cpp: constant * nested (we fold: color0 * bitmap)
+TEX_NORMALMAP = 5      # normalmap.cpp: tangent-space normal from RGB
+TEX_BUMPMAP = 6        # bumpmap.cpp: height field; normal from uv gradient
+#   (bump strength = color0[0])
 
 # Emitter kinds (models/emitter.py)
 EM_AREA = 0
@@ -130,6 +133,10 @@ class BSDFs(NamedTuple):
     child0: jnp.ndarray         # (NB,) int32 mixture child A (-1 unused)
     child1: jnp.ndarray         # (NB,) int32 mixture child B
     mix_w: jnp.ndarray          # (NB,) mixture weight of child A
+    normal_tex: jnp.ndarray = None  # (NB,) int32 TEX_NORMALMAP/TEX_BUMPMAP
+    #   texture perturbing the shading frame (-1/None = geometric normal;
+    #   normalmap.cpp, bumpmap.cpp — applied integrator-side where frames
+    #   are built, models/texture.py shading_normal)
 
 
 class Textures(NamedTuple):
@@ -351,6 +358,8 @@ class RenderConfig(NamedTuple):
     bsdf_kinds: tuple = ()       # static set of BSDF kinds in the scene;
     #   jit compiles only these lobes (() = all, models/bsdf.py _on)
     has_textures: bool = False   # static: any BSDF carries a texture
+    has_normal_tex: bool = False  # static: any BSDF perturbs the shading
+    #   frame via a normal/bump map (normalmap.cpp, bumpmap.cpp)
     medium_strategies: bool = False  # static: any medium uses a non-balance
     #   homogeneous sampling strategy (single/manual/maximum)
     wf_epoch_ring: int = 0       # wavefront film ring depth (0 = sppc: no

@@ -293,13 +293,32 @@ class XMLLoader:
                 self.bsdf_ids[bsdf_id] = idx
             return idx
         if t in ("bumpmap", "normalmap"):
-            # unwrap adapters to the nested BSDF
+            # unwrap to the nested BSDF; if the wrapper carries a bitmap
+            # texture child, attach it as the shading-normal perturbation
+            # (normalmap.cpp / bumpmap.cpp -> models/texture.py
+            # shading_normal; applied where integrators build frames)
+            idx = -1
             for c in node:
                 if c.tag == "bsdf":
                     idx = self._bsdf(c, bsdf_id)
-                    if bsdf_id:
-                        self.bsdf_ids[bsdf_id] = idx
-                    return idx
+            if idx >= 0:
+                for c in node:
+                    if c.tag == "texture" and c.get("type") == "bitmap":
+                        p = _props(c)
+                        fn = p.get("filename")
+                        if fn:
+                            if not os.path.isabs(fn):
+                                fn = os.path.join(self.dir, fn)
+                            img = io.read_image(fn)
+                            tid = self.b.add_texture(
+                                kind=(T.TEX_NORMALMAP if t == "normalmap"
+                                      else T.TEX_BUMPMAP),
+                                bitmap=np.asarray(img, np.float32),
+                                color0=(1.0, 1.0, 1.0))
+                            self.b._bsdfs[idx].normal_tex = tid
+            if bsdf_id:
+                self.bsdf_ids[bsdf_id] = idx
+            return idx
         p = _props(node)
         kind = _BSDF_KINDS.get(t, T.BSDF_DIFFUSE)
         kw = {}

@@ -166,3 +166,57 @@ def test_coating_pdf_matches_sample_histogram():
     expect *= 2 * np.pi / m
     mask = expect > 0.01
     np.testing.assert_allclose(hist[mask], expect[mask], rtol=0.15)
+
+
+def _quad_scene(normal_rgb=None, kind=None):
+    from mitsubaer_tpu.core import transform as tf
+    from mitsubaer_tpu.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    mat = b.add_bsdf(T.BSDF_DIFFUSE, reflectance=(0.6, 0.6, 0.6))
+    if normal_rgb is not None:
+        img = np.broadcast_to(np.asarray(normal_rgb, np.float32), (8, 8, 3))
+        tid = b.add_texture(kind=kind or T.TEX_NORMALMAP, bitmap=img,
+                            color0=(1.0, 1.0, 1.0))
+        b._bsdfs[mat].normal_tex = tid
+    v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                 np.float32)
+    f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    b.add_mesh(v, f, bsdf=mat, uv=uv)
+    b.add_emitter(T.EM_POINT, radiance=(8.0, 8.0, 8.0),
+                  position=(2.0, 0.0, -2.0))
+    b.set_perspective_sensor(
+        to_world=tf.look_at([0, 0, -3], [0, 0, 0], [0, 1, 0]), fov_deg=40.0)
+    b.config = b.config._replace(width=24, height=24, spp=16, max_depth=2,
+                                 integrator="path", engine="loop")
+    return b.build(), b.config
+
+
+def test_normalmap_flat_matches_unmapped():
+    from mitsubaer_tpu.integrators import render as render_m
+    s0, c0 = _quad_scene()
+    s1, c1 = _quad_scene(normal_rgb=(0.5, 0.5, 1.0))
+    a = np.asarray(render_m.render(s0, c0, seed=0))
+    b = np.asarray(render_m.render(s1, c1, seed=0))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_normalmap_tilt_changes_shading():
+    from mitsubaer_tpu.integrators import render as render_m
+    s0, c0 = _quad_scene(normal_rgb=(0.5, 0.5, 1.0))
+    # mild ~23 degree tilt toward +x (the light side): brighter lambertian
+    s1, c1 = _quad_scene(normal_rgb=(0.65, 0.5, 0.85))
+    a = np.asarray(render_m.render(s0, c0, seed=0)).mean()
+    b = np.asarray(render_m.render(s1, c1, seed=0)).mean()
+    assert np.isfinite(b)
+    assert b > a * 1.02  # normals lean toward the light
+
+
+def test_bumpmap_flat_matches_unmapped():
+    from mitsubaer_tpu.integrators import render as render_m
+    s0, c0 = _quad_scene()
+    s1, c1 = _quad_scene(normal_rgb=(0.7, 0.7, 0.7), kind=T.TEX_BUMPMAP)
+    a = np.asarray(render_m.render(s0, c0, seed=0))
+    b = np.asarray(render_m.render(s1, c1, seed=0))
+    np.testing.assert_allclose(a, b, atol=2e-3)
