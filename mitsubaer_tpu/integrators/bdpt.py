@@ -115,7 +115,11 @@ class LightStart(NamedTuple):
     pdf_dir: jnp.ndarray   # (n,) emission solid-angle pdf
     radiance: jnp.ndarray  # (n, 3) emitted radiance / intensity
     is_area: jnp.ndarray
-    delta_pos: jnp.ndarray
+    delta_pos: jnp.ndarray   # position is a Dirac (point/collimated/
+    #   directional): the s'=0 hit family cannot see it (MIS gate)
+    delta_dir: jnp.ndarray   # EMISSION DIRECTION is a Dirac (collimated/
+    #   directional beams): s=1 connections are impossible; point lights
+    #   are position-delta but freely connectable (vertex.cpp point case)
     emitter: jnp.ndarray
 
 
@@ -532,7 +536,8 @@ def _sample_light_vertex(scene, smp):
         p=p0, ng=ng0, beta1=beta1,
         inv_pdf_pos=1.0 / jnp.maximum(pdf_pos, 1e-12), pdf_pos=pdf_pos,
         pdf_dir=pdf_dir, radiance=radiance, is_area=is_area,
-        delta_pos=(kind == EM_POINT) | is_coll | is_dir, emitter=e_idx,
+        delta_pos=(kind == EM_POINT) | is_coll | is_dir,
+        delta_dir=is_coll | is_dir, emitter=e_idx,
     ), d0, smp
 
 
@@ -621,14 +626,20 @@ def _mis_weight(scene, cam, lt, light0, s, t, ov_cam, ov_cam2, ov_lt,
         return rev_lt_origin if i == 0 else lt.pdf_rev[:, i - 1]
 
     def lt_delta(i):
+        # y_0's own "lobe" delta is its EMISSION-direction delta: a point
+        # light is position-delta yet freely connectable (term i=1 must
+        # stay in the balance — gating it on delta_pos double-counted every
+        # point-lit path across the (s'=1, t'=1-vs-NEE) family pair)
         if i == s - 1:
             return F
-        return light0.delta_pos if i == 0 else lt.delta[:, i - 1]
+        return light0.delta_dir if i == 0 else lt.delta[:, i - 1]
 
     ri = jnp.ones((n,))
     for i in range(s - 1, -1, -1):
         ri = ri * _remap0(lt_rev(i)) / _remap0(lt_fwd(i))
         d_here = lt_delta(i)
+        # the i=0 term is the s'=0 "camera hits the light" family: it needs
+        # the light HITTABLE (area), i.e. ~delta_pos
         d_light_origin = light0.delta_pos if i == 0 else lt_delta(i - 1)
         sum_ri = sum_ri + jnp.where(~d_here & ~d_light_origin, ri, 0.0)
 
@@ -900,8 +911,10 @@ def _bdpt_pass(scene, eye_img, splat_img, cfg, T_MAX, S_MAX, seed, pass_idx,
                 beta_y = light0.inv_pdf_pos[..., None] * jnp.ones((n, 3))
                 G = jnp.where(light0.is_area, cos_y / d2, 1.0 / d2)
                 # delta-direction starts (collimated/directional) cannot be
-                # connected to — gated here AND by delta_pos in MIS
-                ok = ok & ~light0.delta_pos
+                # connected to; point lights are position-delta only and
+                # connect freely (fixed r5: the old delta_pos gate zeroed
+                # every s=1 strategy in point-lit scenes)
+                ok = ok & ~light0.delta_dir
             else:
                 f_y_over_cos = _bsdf_f_at(scene, cfg, lt, kl,
                                           -lt.d_in[:, kl], wconn_y)

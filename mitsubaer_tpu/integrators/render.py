@@ -275,6 +275,12 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = pssmlt_m.render_pssmlt(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "erpt":
+        from . import erpt as erpt_m
+
+        with stats.timed("render.wall"):
+            img = erpt_m.render_erpt(scene, cfg, seed=seed)
+        return img
     if cfg.integrator == "singlescatter":
         from . import singlescatter as ss_m
 

@@ -747,24 +747,41 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
         from ..core.math import Frame as _Frame
 
         frame_c = _Frame.from_normal(init_dir)
-        zero3 = jnp.zeros((n, 3), jnp.float32)
-
-        def rcond(st):
-            (looping, _, _, _, _, _, _, r) = st
-            return jnp.any(looping) & (r < max_restarts)
-
-        def rbody(st):
-            (looping, iterations, weight, have_first, first_dir, final_dir,
-             conv_final, r) = st
+        # ---- r5: BATCHED restart rounds ----
+        # The reference iterates restarts sequentially (:1146-1155); the r4
+        # build mirrored that with a device while_loop — multiplying the
+        # BVP's sequential depth by max_restarts (the ER throughput wall:
+        # ~6000 sequential curve steps/bounce, each paying the ~50-90 us
+        # fixed pass cost). Every round's SOLVE is independent of history
+        # (round-indexed counter RNG), only the accept/RR bookkeeping is
+        # sequential — so solve all rounds in ONE width-(R*n) batch (TPUs
+        # eat width for free; depth costs latency) and replay the exact
+        # sequential bookkeeping over the R outcomes in registers.
+        R = int(max_restarts)
+        d0s = []
+        for r in range(R):
             u1 = _restart_uniform(seed_bits, r, 0)
             u2 = _restart_uniform(seed_bits, r, 1)
-            d0 = frame_c.to_world(warp_m.square_to_uniform_hemisphere(
-                jnp.stack([u1, u2], axis=-1)))
-            v_fin, cost = _levenberg_solve(
-                rif, sdf, p1, p2, d0 * r0[..., None], h, max_steps, looping,
-                tol2, max_iters=newton_iters)
-            conv_i = looping & (cost < tol2)
-            d_i = normalize(v_fin)
+            d0s.append(frame_c.to_world(warp_m.square_to_uniform_hemisphere(
+                jnp.stack([u1, u2], axis=-1))))
+        tile = lambda a: jnp.concatenate([a] * R, axis=0)
+        d0_all = jnp.concatenate(d0s, axis=0)            # (R*n, 3)
+        v_fin_all, cost_all = _levenberg_solve(
+            rif, sdf, tile(p1), tile(p2), d0_all * tile(r0)[..., None],
+            h, max_steps, tile(active), tol2, max_iters=newton_iters)
+        conv_all = (cost_all < tol2).reshape(R, n) & active[None]
+        d_all = normalize(v_fin_all).reshape(R, n, 3)
+
+        looping = active
+        iterations = jnp.ones((n,), jnp.int32)
+        weight = jnp.ones((n,))
+        have_first = jnp.zeros((n,), bool)
+        first_dir = init_dir
+        final_dir = init_dir
+        conv_final = jnp.zeros((n,), bool)
+        for r in range(R):
+            conv_i = looping & conv_all[r]
+            d_i = d_all[r]
             new_first = conv_i & ~have_first
             first_dir = jnp.where(new_first[..., None], d_i, first_dir)
             have_first = have_first | new_first
@@ -786,14 +803,7 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
             weight = jnp.where(fail & keep, weight / rr_weight, weight)
             give_up = fail & ~keep
             looping = looping & ~refind & ~give_up
-            return (looping, iterations, weight, have_first, first_dir,
-                    final_dir, conv_final, r + 1)
-
-        st0 = (active, jnp.ones((n,), jnp.int32), jnp.ones((n,)),
-               jnp.zeros((n,), bool), init_dir, init_dir,
-               jnp.zeros((n,), bool), jnp.int32(0))
-        (_, iterations, weight, _, _, d_final, conv_final, _) = \
-            jax.lax.while_loop(rcond, rbody, st0)
+        d_final = final_dir
         # Multiplicity compensation. `iterations` here = 1 (init) + number
         # of converged solves including the first find and the re-find, so
         # the Booth count "converged re-tries until the first solution is
