@@ -287,6 +287,18 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = ss_m.render_singlescatter(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "singlescatter_mesh":
+        from . import singlescatter as ss_m
+
+        with stats.timed("render.wall"):
+            img = ss_m.render_singlescatter_mesh(scene, cfg, seed=seed)
+        return img
+    if cfg.integrator == "dipole":
+        from . import dipole as dip_m
+
+        with stats.timed("render.wall"):
+            img = dip_m.render_dipole(scene, cfg, seed=seed)
+        return img
     if cfg.integrator in ("photonmapper", "ppm", "sppm"):
         from . import photonmap as photonmap_m
 

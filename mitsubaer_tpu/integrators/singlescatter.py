@@ -197,3 +197,179 @@ def render_singlescatter(scene: Scene, cfg: RenderConfig, seed: int = 0,
     for s in range(cfg.spp):
         img = img + f(jnp.uint32(s))
     return (img / jnp.float32(cfg.spp)).reshape(H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-boundary variant (r5): per-triangle planar refraction solves
+# ---------------------------------------------------------------------------
+def _solve_planar(p0, n, eta, x, l, iters: int = 24):
+    """Refraction point B on the plane (p0, n) such that l -> B refracts to
+    x (x on the opposite side of the plane from l). The reference solves
+    this per boundary triangle by Newton (singlescatter.cpp:117); here a
+    bracketed bisection along the projected chord — B lies on the segment
+    between the plane projections of l and x (the plane of incidence).
+    Returns (B, ok). Shapes broadcast: works for (T, n, 3) batches."""
+    hx = dot(x - p0, n, keepdims=True)
+    hl = dot(l - p0, n, keepdims=True)
+    x_p = x - hx * n
+    l_p = l - hl * n
+    ok_side = (hx[..., 0] * hl[..., 0]) < 0  # opposite sides
+
+    def g(s):
+        B = l_p + s[..., None] * (x_p - l_p)
+        wi = normalize(x - B)          # interior, B -> x
+        wo = normalize(l - B)          # exterior, B -> l
+        sin_i = jnp.linalg.norm(jnp.cross(wi, n), axis=-1)
+        sin_o = jnp.linalg.norm(jnp.cross(wo, n), axis=-1)
+        return eta * sin_i - sin_o
+
+    # bracket: at s=0 (under l) sin_o = 0 -> g >= 0; at s=1 sin_i = 0 ->
+    # g <= 0 (same structure as _solve_phi's bracket)
+    lo = jnp.zeros(x.shape[:-1])
+    hi = jnp.ones(x.shape[:-1])
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        gm = g(mid)
+        hi = jnp.where(gm < 0, mid, hi)
+        lo = jnp.where(gm < 0, lo, mid)
+    s = 0.5 * (lo + hi)
+    B = l_p + s[..., None] * (x_p - l_p)
+    ok = ok_side & (jnp.abs(g(s)) < 1e-3)
+    return B, ok
+
+
+def _find_mesh_target(scene: Scene):
+    """First MESH shape with an interior medium; returns (shape_id, med)."""
+    interior = np.asarray(scene.shapes.interior)
+    tri_shape = np.asarray(scene.geo.shape_id)
+    for sid in np.unique(tri_shape):
+        if interior[int(sid)] >= 0:
+            return int(sid), int(interior[int(sid)])
+    raise ValueError("singlescatter_mesh: no mesh shape with interior medium")
+
+
+def render_singlescatter_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
+                              n_dist: int = 4):
+    """Single-scatter through a TRIANGLE-MESH refractive boundary
+    (singlescatter.cpp:117 triangle Newton, TPU bisection form): every
+    boundary triangle's planar refraction point is solved for every lane
+    at once ((T, n)-vectorized), masked by the barycentric inside-test,
+    and all valid solutions contribute (Holzschuch enumerates the same
+    candidate set). Returns (H, W, 3)."""
+    H, W = cfg.height, cfg.width
+    npix = H * W
+    eps = common.scene_epsilon(scene)
+    sid, med_id = _find_mesh_target(scene)
+    tri_ids = np.argwhere(np.asarray(scene.geo.shape_id) == sid).ravel()
+    T = len(tri_ids)
+    v0 = jnp.asarray(np.asarray(scene.geo.v0)[tri_ids])
+    e1 = jnp.asarray(np.asarray(scene.geo.e1)[tri_ids])
+    e2 = jnp.asarray(np.asarray(scene.geo.e2)[tri_ids])
+    ng = jnp.asarray(np.asarray(scene.geo.ng)[tri_ids])
+
+    b_idx = int(np.asarray(scene.shapes.bsdf)[sid])
+    eta = float(np.asarray(scene.bsdfs.eta)[b_idx]) if b_idx >= 0 else 1.5
+    kind, sa, ss, _, _ = medium_m.params(
+        scene.media, jnp.full((1,), med_id, jnp.int32))
+    sigma_t = (sa + ss)[0]
+    sigma_s = ss[0]
+    em = scene.emitters
+    li = int(np.argmax(np.asarray(em.kind) >= 0))
+    l_pos = em.position[li]
+    I = em.radiance[li]
+
+    def connect(x, lb, d_in):
+        """(T, n)-vectorized refracted-connection sum incl. per-triangle
+        phase values at the scatter vertex."""
+        n = x.shape[0]
+        xb = jnp.broadcast_to(x[None], (T, n, 3))
+        lbb = jnp.broadcast_to(lb[None], (T, n, 3))
+        p0 = jnp.broadcast_to(v0[:, None], (T, n, 3))
+        nrm = jnp.broadcast_to(ng[:, None], (T, n, 3))
+        e1b = e1[:, None]
+        e2b = e2[:, None]
+        B, okp = _solve_planar(p0, nrm, eta, xb, lbb)
+        d = B - p0
+        d00 = dot(e1b, e1b)
+        d01 = dot(e1b, e2b)
+        d11 = dot(e2b, e2b)
+        d20 = dot(d, e1b)
+        d21 = dot(d, e2b)
+        den = jnp.maximum(d00 * d11 - d01 * d01, 1e-12)
+        bu = (d11 * d20 - d01 * d21) / den
+        bv = (d00 * d21 - d01 * d20) / den
+        inside = (bu >= -1e-4) & (bv >= -1e-4) & (bu + bv <= 1 + 1e-4)
+        ok = okp & inside
+        # geometry factor by displaced-light re-solves (same scheme as the
+        # sphere-exact path)
+        dlb = normalize(lbb - B)
+        a1 = jnp.where(jnp.abs(dlb[..., :1]) < 0.9,
+                       jnp.asarray([1.0, 0, 0]), jnp.asarray([0, 1.0, 0]))
+        uu = normalize(jnp.cross(dlb, jnp.broadcast_to(a1, dlb.shape)))
+        vv = jnp.cross(dlb, uu)
+        delta = 3e-3
+        B_u, _ = _solve_planar(p0, nrm, eta, xb, lbb + delta * uu)
+        B_v, _ = _solve_planar(p0, nrm, eta, xb, lbb + delta * vv)
+        w0 = normalize(B - xb)
+        G = jnp.linalg.norm(jnp.cross(
+            (normalize(B_u - xb) - w0) / delta,
+            (normalize(B_v - xb) - w0) / delta), axis=-1)
+        w_out = normalize(lbb - B)
+        F_B, _ = fresnel_dielectric(jnp.abs(dot(w_out, nrm)), eta)
+        d_Bx = jnp.linalg.norm(B - xb, axis=-1)
+        tr_conn = jnp.exp(-sigma_t[None, None, :] * d_Bx[..., None])
+        d_in_b = jnp.broadcast_to(d_in[None], (T, n, 3))
+        rho = phase_m.eval(scene.media.phase,
+                           jnp.full((T, n), med_id, jnp.int32), d_in_b, w0)
+        val = tr_conn * ((1.0 - F_B) * G * rho)[..., None]
+        return jnp.sum(jnp.where((ok & (G > 0))[..., None], val, 0.0),
+                       axis=0)
+
+    def one_spp(s_idx):
+        pixel = jnp.arange(npix, dtype=jnp.uint32)
+        smp = rng.make_sampler(
+            jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x55D),
+            pixel, jnp.full((npix,), s_idx, jnp.uint32))
+        u_jit, smp = rng.next_2d(smp)
+        px = (pixel % W).astype(jnp.float32) + u_jit[:, 0]
+        py = (pixel // W).astype(jnp.float32) + u_jit[:, 1]
+        rays = sensor_m.sample_rays(scene.sensor, px, py, W, H)
+        hit = isect.intersect(scene.geo, rays.o, rays.d,
+                              jnp.full((npix,), eps),
+                              jnp.full((npix,), isect.INF))
+        on_tgt = hit.valid & (hit.shape_id == sid)
+        nE = hit.ng
+        F_E, _ = fresnel_dielectric(dot(-rays.d, nE), eta)
+        d_in, tir_in = refract(-rays.d, nE, eta)
+        ok0 = on_tgt & ~tir_in
+        E = hit.p
+        # exit chord: re-intersect from just inside
+        hit2 = isect.intersect(scene.geo, E + d_in * (2 * eps), d_in,
+                               jnp.full((npix,), eps),
+                               jnp.full((npix,), isect.INF))
+        t_exit = jnp.where(hit2.valid & (hit2.shape_id == sid),
+                           hit2.t, 1e-3)
+        t_exit = jnp.maximum(t_exit, 1e-6)
+
+        Lsum = jnp.zeros((npix, 3), jnp.float32)
+        for k in range(n_dist):
+            u_t, smp = rng.next_1d(smp)
+            st_m = jnp.mean(sigma_t)
+            denom = 1.0 - jnp.exp(-st_m * t_exit)
+            t = -jnp.log1p(-u_t * denom) / st_m
+            pdf_t = st_m * jnp.exp(-st_m * t) / jnp.maximum(denom, 1e-12)
+            x = E + t[..., None] * d_in
+            tr_in = jnp.exp(-sigma_t[None, :] * t[..., None])
+            lb = jnp.broadcast_to(l_pos, x.shape)
+            conn = connect(x, lb, d_in)
+            val = (tr_in * conn * sigma_s[None, :] * I[None, :]
+                   * ((1.0 - F_E) / jnp.maximum(pdf_t, 1e-12))[..., None])
+            ok = ok0 & jnp.all(jnp.isfinite(val), -1)
+            Lsum = Lsum + jnp.where(ok[..., None], val, 0.0)
+        return Lsum / n_dist
+
+    img = jnp.zeros((npix, 3), jnp.float32)
+    f = jax.jit(one_spp)
+    for s in range(cfg.spp):
+        img = img + f(jnp.uint32(s))
+    return (img / jnp.float32(cfg.spp)).reshape(H, W, 3)

@@ -747,30 +747,33 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
         from ..core.math import Frame as _Frame
 
         frame_c = _Frame.from_normal(init_dir)
-        # ---- r5: BATCHED restart rounds ----
-        # The reference iterates restarts sequentially (:1146-1155); the r4
-        # build mirrored that with a device while_loop — multiplying the
-        # BVP's sequential depth by max_restarts (the ER throughput wall:
-        # ~6000 sequential curve steps/bounce, each paying the ~50-90 us
-        # fixed pass cost). Every round's SOLVE is independent of history
-        # (round-indexed counter RNG), only the accept/RR bookkeeping is
-        # sequential — so solve all rounds in ONE width-(R*n) batch (TPUs
-        # eat width for free; depth costs latency) and replay the exact
-        # sequential bookkeeping over the R outcomes in registers.
+        # ---- r5: batched restart PREFIX + sequential tail ----
+        # Every accepted connection needs at least TWO converged solves
+        # (the first find + the Zeltner re-find), and each round's solve is
+        # independent of history (round-indexed counter RNG) — so rounds 0
+        # and 1 are solved as ONE width-2n batch (halving the dominant
+        # sequential depth at zero wasted work for the common
+        # find-then-refind case), and only the minority of lanes still
+        # looping after round 1 pay the sequential while_loop tail.
+        # (Batching ALL rounds was measured 4x SLOWER on the er bench: the
+        # sequential loop already exits after ~2 rounds, so an R-wide batch
+        # just multiplies work — BENCH history r5.)
         R = int(max_restarts)
-        d0s = []
-        for r in range(R):
+        B = min(2, R)
+
+        def round_dir(r):
             u1 = _restart_uniform(seed_bits, r, 0)
             u2 = _restart_uniform(seed_bits, r, 1)
-            d0s.append(frame_c.to_world(warp_m.square_to_uniform_hemisphere(
-                jnp.stack([u1, u2], axis=-1))))
-        tile = lambda a: jnp.concatenate([a] * R, axis=0)
-        d0_all = jnp.concatenate(d0s, axis=0)            # (R*n, 3)
+            return frame_c.to_world(warp_m.square_to_uniform_hemisphere(
+                jnp.stack([u1, u2], axis=-1)))
+
+        tile = lambda a: jnp.concatenate([a] * B, axis=0)
+        d0_all = jnp.concatenate([round_dir(r) for r in range(B)], axis=0)
         v_fin_all, cost_all = _levenberg_solve(
             rif, sdf, tile(p1), tile(p2), d0_all * tile(r0)[..., None],
             h, max_steps, tile(active), tol2, max_iters=newton_iters)
-        conv_all = (cost_all < tol2).reshape(R, n) & active[None]
-        d_all = normalize(v_fin_all).reshape(R, n, 3)
+        conv_all = (cost_all < tol2).reshape(B, n) & active[None]
+        d_all = normalize(v_fin_all).reshape(B, n, 3)
 
         looping = active
         iterations = jnp.ones((n,), jnp.int32)
@@ -779,9 +782,11 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
         first_dir = init_dir
         final_dir = init_dir
         conv_final = jnp.zeros((n,), bool)
-        for r in range(R):
-            conv_i = looping & conv_all[r]
-            d_i = d_all[r]
+
+        def bookkeep(st, conv_i_raw, d_i, r_idx):
+            (looping, iterations, weight, have_first, first_dir, final_dir,
+             conv_final) = st
+            conv_i = looping & conv_i_raw
             new_first = conv_i & ~have_first
             first_dir = jnp.where(new_first[..., None], d_i, first_dir)
             have_first = have_first | new_first
@@ -798,12 +803,41 @@ def solve_bvp(rif: RifField, sdf: SdfField, p1, p2, init_dir, h,
             conv_final = conv_final | refind
             # failed solve: russian roulette the continuation
             fail = looping & ~conv_i
-            u_rr = _restart_uniform(seed_bits, r, 3)
+            u_rr = _restart_uniform(seed_bits, r_idx, 3)
             keep = u_rr < rr_weight
             weight = jnp.where(fail & keep, weight / rr_weight, weight)
             give_up = fail & ~keep
             looping = looping & ~refind & ~give_up
-        d_final = final_dir
+            return (looping, iterations, weight, have_first, first_dir,
+                    final_dir, conv_final)
+
+        st = (looping, iterations, weight, have_first, first_dir,
+              final_dir, conv_final)
+        for r in range(B):
+            st = bookkeep(st, conv_all[r], d_all[r], r)
+
+        if R > B:
+            def rcond(c):
+                return jnp.any(c[0][0]) & (c[1] < R)
+
+            def rbody(c):
+                st, r = c
+                d0 = round_dir_dyn(r)
+                v_fin, cost = _levenberg_solve(
+                    rif, sdf, p1, p2, d0 * r0[..., None], h, max_steps,
+                    st[0], tol2, max_iters=newton_iters)
+                st = bookkeep(st, cost < tol2, normalize(v_fin), r)
+                return (st, r + 1)
+
+            def round_dir_dyn(r):
+                u1 = _restart_uniform(seed_bits, r, 0)
+                u2 = _restart_uniform(seed_bits, r, 1)
+                return frame_c.to_world(
+                    warp_m.square_to_uniform_hemisphere(
+                        jnp.stack([u1, u2], axis=-1)))
+
+            st, _ = jax.lax.while_loop(rcond, rbody, (st, jnp.int32(B)))
+        (_, iterations, weight, _, _, d_final, conv_final, ) = st
         # Multiplicity compensation. `iterations` here = 1 (init) + number
         # of converged solves including the first find and the re-find, so
         # the Booth count "converged re-tries until the first solution is

@@ -107,3 +107,89 @@ def test_eta133_smoke_and_snell():
     sin_o = np.linalg.norm(np.cross(wo, n))
     assert bool(np.asarray(ok)[0])
     assert abs(1.33 * sin_i - sin_o) < 1e-3
+
+
+def _icosphere(r=1.0, subdiv=2):
+    """Subdivided octahedron sphere mesh (outward winding)."""
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int64)
+    for _ in range(subdiv):
+        nv = list(map(tuple, v))
+        index = {tuple(p): i for i, p in enumerate(map(tuple, v))}
+        nf = []
+
+        def mid(i, j):
+            p = tuple((np.array(nv[i]) + np.array(nv[j])) / 2.0)
+            if p not in index:
+                index[p] = len(nv)
+                nv.append(p)
+            return index[p]
+
+        for a, b_, c in f:
+            ab, bc, ca = mid(a, b_), mid(b_, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b_, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.array(nv, np.float64)
+        f = np.array(nf, np.int64)
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True) * r
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def _mesh_scene(eta=1.33, sigma_s=0.4, sigma_a=0.05, res=8, subdiv=3):
+    b = SceneBuilder()
+    med = b.add_medium(kind=T.MED_HOMOGENEOUS,
+                       sigma_a=(sigma_a,) * 3, sigma_s=(sigma_s,) * 3,
+                       phase_kind=T.PH_ISOTROPIC)
+    bs = b.add_bsdf(kind=T.BSDF_DIELECTRIC, eta=eta)
+    v, f = _icosphere(1.0, subdiv)
+    b.add_mesh(v, f, bsdf=bs, interior=med)
+    b.add_emitter(T.EM_POINT, radiance=(10.0, 10.0, 10.0),
+                  position=(2.5, 1.5, 0.0))
+    b.set_perspective_sensor(
+        to_world=tf.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]), fov_deg=35)
+    b.config = b.config._replace(width=res, height=res, spp=4, filter="box")
+    return b.build(), b.config
+
+
+def test_mesh_boundary_matches_sphere_exact():
+    """Triangle-mesh boundary singlescatter (per-triangle planar refraction,
+    singlescatter.cpp:117) agrees with the sphere-exact solver on a finely
+    tessellated sphere."""
+    from mitsubaer_tpu.integrators.singlescatter import (
+        render_singlescatter_mesh)
+
+    eta = 1.33
+    s_sph, c_sph = _scene(eta=eta, res=8)
+    s_msh, c_msh = _mesh_scene(eta=eta, res=8, subdiv=3)
+    a = np.asarray(render_singlescatter(s_sph, c_sph, seed=0, n_dist=8))
+    m = np.asarray(render_singlescatter_mesh(s_msh, c_msh, seed=0, n_dist=8))
+    assert np.isfinite(m).all()
+    am, mm = a.mean(), m.mean()
+    assert mm > 0
+    assert abs(mm - am) / am < 0.15, (am, mm)
+
+
+def test_dipole_smoke_and_sanity():
+    """Dipole BSSRDF (subsurface/dipole.cpp): finite translucent image;
+    more absorption -> dimmer; R_d monotonically decreasing in r."""
+    from mitsubaer_tpu.integrators.dipole import rd_dipole, render_dipole
+
+    r = np.linspace(0.01, 2.0, 64, dtype=np.float32)[:, None]
+    sa = np.full((1, 3), 0.05, np.float32)
+    ssp = np.full((1, 3), 2.0, np.float32)
+    rd = np.asarray(rd_dipole(jnp.asarray(r), jnp.asarray(sa),
+                              jnp.asarray(ssp), 1.3))
+    assert (rd > 0).all()
+    assert (np.diff(rd[:, 0]) < 0).all()          # decreasing in r
+
+    s1, c1 = _mesh_scene(eta=1.3, sigma_s=2.0, sigma_a=0.05, res=8,
+                         subdiv=2)
+    img1 = np.asarray(render_dipole(s1, c1._replace(spp=2), seed=0,
+                                    n_cache=512, chunk=256))
+    assert np.isfinite(img1).all() and img1.max() > 0
+    s2, c2 = _mesh_scene(eta=1.3, sigma_s=2.0, sigma_a=0.8, res=8,
+                         subdiv=2)
+    img2 = np.asarray(render_dipole(s2, c2._replace(spp=2), seed=0,
+                                    n_cache=512, chunk=256))
+    assert img2.mean() < img1.mean()              # absorption dims it
