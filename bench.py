@@ -29,11 +29,11 @@ def bench_het(jax, jnp, np):
         res=res, spp=sppc, heterogeneous=True, density_res=64,
         max_depth=max_depth,
     )
-    # r3 sweep (scripts/profile_passes2.py on v5e): mini=2,T=3 full-width
-    # cuts full event iterations 146->80 vs mini=1 (9.08 vs 8.44 Mrays/s);
-    # sort-compacted tracking (wf_track_compact) measured net-negative
-    # end-to-end (5.6-5.9) — the (W,C) state gather costs ~50 ns/row and
-    # overflow-delayed lanes add ~20% more full passes.
+    # r5: the Pallas tracking megapass (wf_track_mega, auto-on for TPU)
+    # replaces the full-width XLA tracking slots: stochastic-trilinear taps
+    # via one-hot MXU matmul at ~3 ns/lane-trip vs 6.5-7.2 for the XLA
+    # slot, and tracking-to-completion halves super-iterations (82 -> 59).
+    # Swept best: mini=2, trip cap 6 -> 17.0 Mrays/s (was 10.0 in r4).
     cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3,
                        wf_mini_passes=2)
     scene = jax.device_put(scene)

@@ -374,6 +374,19 @@ class RenderConfig(NamedTuple):
     #   full width — so off by default in the full-width engine
     wf_dda_hops: int = 2         # tap-free macro-cell boundary hops absorbed
     #   per tracking slot
+    wf_track_mega: int = -1      # Pallas tracking megapass (-1 auto: on for
+    #   TPU when the padded voxel grid fits VMEM (<=2M voxels), 0 off,
+    #   1 forced on). Stochastic-trilinear taps fetched by one-hot MXU
+    #   matmul against a VMEM-resident brick table; each (8,128)-aligned
+    #   lane block loops majorant jumps until its OWN lanes resolve
+    #   (integrators/megatrack.py — ~3 ns/lane-trip vs 6.5-7.2 for the
+    #   full-width XLA slot)
+    wf_mega_trips: int = 6       # megapass per-call trip cap (leftover
+    #   lanes continue in the next super-iteration). Swept on the TPU bench
+    #   (scripts r5): 4->16.3, 6->17.0, 8->16.1, 32->10.8 Mrays/s — large
+    #   caps pay the per-block MAX trip count (active lanes spread across
+    #   every block), small caps amortize the tail across super-iterations
+    wf_mega_block: int = 1024    # megapass lanes per grid block
     phase_kinds: tuple = ()      # static set of phase kinds in the scene
     phase_orient: bool = False   # static: a medium carries a per-voxel
     #   orientation field (microflake/kkay local axes)

@@ -126,7 +126,7 @@ def test_compacted_tracking_matches_full_width():
     # these tests check the compaction plumbing, not the majorant scheme
     # (DDA-vs-global statistical equivalence: test_dda_tracking_unbiased)
     cfg = cfg._replace(filter="box", engine="wavefront", wf_track_iters=3,
-                       wf_mini_passes=1, wf_dda=0)
+                       wf_mini_passes=1, wf_dda=0, wf_compact_k=3)
     L0 = jnp.zeros((res * res, 3), jnp.float32)
     out = {}
     for tc in (0, 1):
