@@ -21,6 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def bench_het(jax, jnp, np):
+    from mitsubaer_tpu.integrators import boxwalk
     from mitsubaer_tpu.integrators.render import render_pass_wavefront
     from mitsubaer_tpu.scene import presets
 
@@ -39,8 +40,17 @@ def bench_het(jax, jnp, np):
     scene = jax.device_put(scene)
     npix = res * res
     L = jnp.zeros((npix, 3), jnp.float32)
+    # r5: the whole-path Pallas renderer (integrators/boxwalk.py) covers
+    # this scene class end to end — camera regen, Woodcock walk, HG
+    # scatter, beam NEE, shadow tracking and film accumulation in ONE
+    # kernel (44 Mrays/s vs 17 for the wavefront+megapass pass structure)
+    use_bw = boxwalk.supported(scene, cfg)
 
     def one_pass(L, pass_idx):
+        if use_bw:
+            Lb, stats = boxwalk.render_boxwalk(
+                scene, cfg, sppc, jnp.asarray(0, jnp.uint32), pass_idx)
+            return L + Lb, stats
         return render_pass_wavefront(
             scene, L, cfg, sppc, jnp.asarray(0, jnp.uint32), pass_idx,
             has_direct=False, any_het=True,
@@ -64,7 +74,8 @@ def bench_het(jax, jnp, np):
         segs_per_sample=segs / samples,
         valid=bool(np.isfinite(img).all() and img.mean() > 0),
         config=f"volumetric heterogeneous {res}x{res} spp{sppc} "
-               f"depth{max_depth}",
+               f"depth{max_depth} "
+               f"engine={'boxwalk' if use_bw else 'wavefront+megapass'}",
     )
 
 

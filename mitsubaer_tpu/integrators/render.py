@@ -305,6 +305,12 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = photonmap_m.render_photonmap(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "bre":
+        from . import bre as bre_m
+
+        with stats.timed("render.wall"):
+            img = bre_m.render_bre(scene, cfg, seed=seed)
+        return img
     if spp_per_pass is None:
         # bound wavefront to ~2^21 lanes to fit memory comfortably
         spp_per_pass = max(1, min(cfg.spp, (1 << 21) // max(npix, 1)))
@@ -332,22 +338,33 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
                 pass_idx += 1
         return film_m.develop(accum)
     if _use_wavefront(cfg):
+        from . import boxwalk as bw_m
+
         hd = _has_direct(scene)
+        use_bw = (jax.default_backend() == "tpu"
+                  and bw_m.supported(scene, cfg))
         L = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
         done = 0
         pass_idx = 0
         if spp_per_pass is None:
             # big per-pass sample budgets amortize the wavefront tail (the
             # final samples of a pass run at decaying occupancy)
-            spp_per_pass = max(1, min(cfg.spp, 16))
-        pass_fn = render_pass_wavefront
+            spp_per_pass = max(1, min(cfg.spp, 64 if use_bw else 16))
         with stats.timed("render.wall"):
             while done < cfg.spp:
                 sppc = min(spp_per_pass, cfg.spp - done)
-                L, _ = pass_fn(
-                    scene, L, cfg, sppc, jnp.asarray(seed, jnp.uint32),
-                    jnp.asarray(pass_idx, jnp.uint32), has_direct=hd,
-                    any_het=_any_het(scene))
+                if use_bw:
+                    # whole-path Pallas renderer for the bounded-volume
+                    # scene class (integrators/boxwalk.py)
+                    Lb, _ = bw_m.render_boxwalk(
+                        scene, cfg, sppc, jnp.asarray(seed, jnp.uint32),
+                        jnp.asarray(pass_idx, jnp.uint32))
+                    L = L + Lb
+                else:
+                    L, _ = render_pass_wavefront(
+                        scene, L, cfg, sppc, jnp.asarray(seed, jnp.uint32),
+                        jnp.asarray(pass_idx, jnp.uint32), has_direct=hd,
+                        any_het=_any_het(scene))
                 done += sppc
                 pass_idx += 1
                 stats.counter_add("render.passes")
