@@ -111,7 +111,7 @@ def bench_er_forward(jax, jnp, np):
                 valid=bool(np.isfinite(m) and m > 0),
                 er_h=1e-2, er_bvp_hscale=4.0,
                 config=f"linear-RIF ER {res}x{res} spp{spp} h1e-2 "
-                       f"host-stepped bvp-h4x")
+                       f"host-stepped bvp-h4x pallas-march")
 
 
 def bench_er_grad(jax, jnp, np):

@@ -341,11 +341,43 @@ def er_step(rif: RifField, p, v, h):
     return p, v, h * n0
 
 
+def _er_kernel_ok(rif: RifField, sdf: SdfField, differentiable: bool):
+    """Static part of the ER-march kernel gate: forward-only, analytic
+    (non-spline) RIF and SDF, TPU backend. The RIF *kind* is a runtime
+    value — callers pair this with a lax.cond on kind <= RIF_RADIAL so
+    acoustic lanes take the XLA path (models/ermarch.py scope)."""
+    return (not differentiable and rif.coeff.size <= 1
+            and sdf.coeff.size <= 1
+            and jax.default_backend() == "tpu")
+
+
 def trace_curved(rif: RifField, sdf: SdfField, p, v, distance, h,
                  max_steps: int, active, differentiable: bool = False):
     """March a batch of curved rays a given arc distance, stopping at the
     medium boundary (trace(), :671-691). Returns
-    (p, v, optical_len, dist_marched, exited, steps)."""
+    (p, v, optical_len, dist_marched, exited, steps).
+
+    On TPU with analytic RIF/SDF the march runs in the Pallas kernel
+    (models/ermarch.py) — the XLA while_loop pays tens of microseconds of
+    dispatch per velocity-Verlet step regardless of batch width."""
+    if _er_kernel_ok(rif, sdf, differentiable):
+        from . import ermarch
+
+        def _kern(_):
+            return ermarch.trace(rif, sdf, p, v, distance, h, max_steps,
+                                 active)
+
+        def _xla(_):
+            return _trace_curved_xla(rif, sdf, p, v, distance, h,
+                                     max_steps, active, differentiable)
+
+        return jax.lax.cond(rif.kind <= RIF_RADIAL, _kern, _xla, None)
+    return _trace_curved_xla(rif, sdf, p, v, distance, h, max_steps,
+                             active, differentiable)
+
+
+def _trace_curved_xla(rif: RifField, sdf: SdfField, p, v, distance, h,
+                      max_steps: int, active, differentiable: bool = False):
     from .medium import bounded_while
 
     n = p.shape[0]
@@ -497,12 +529,26 @@ def integrate_with_sensitivities(rif: RifField, sdf: SdfField, p1, v0, p2,
         running = running & ~stop
         return (p, v, dp_, dv_, opt, marched, running, crossed, it + 1)
 
-    st = (p1, v, dpdv0, dvdv0, jnp.zeros((n,), p1.dtype),
-          jnp.zeros((n,), p1.dtype), active,
-          jnp.zeros((n,), bool), jnp.int32(0))
-    p, v, dpdv0, dvdv0, opt, marched, _, exited, _ = bounded_while(
-        cond, body, st, max_steps, differentiable
-    )
+    def _march_xla(_):
+        st = (p1, v, dpdv0, dvdv0, jnp.zeros((n,), p1.dtype),
+              jnp.zeros((n,), p1.dtype), active,
+              jnp.zeros((n,), bool), jnp.int32(0))
+        pp, vv, dp_, dv_, opt_, mar_, _, ex_, _ = bounded_while(
+            cond, body, st, max_steps, differentiable
+        )
+        return pp, vv, dp_, dv_, opt_, mar_, ex_
+
+    if _er_kernel_ok(rif, sdf, differentiable):
+        from . import ermarch
+
+        def _march_kern(_):
+            return ermarch.sens_march(rif, sdf, p1, v, dpdv0, dvdv0, p2,
+                                      h, max_steps, active)
+
+        p, v, dpdv0, dvdv0, opt, marched, exited = jax.lax.cond(
+            rif.kind <= RIF_RADIAL, _march_kern, _march_xla, None)
+    else:
+        p, v, dpdv0, dvdv0, opt, marched, exited = _march_xla(None)
 
     # boundary handling for exited lanes: refract, then extrapolate straight
     N_b = normalize(sdf_gradient(sdf, p))
