@@ -104,3 +104,49 @@ def test_bdpt_collimated_beam_scene():
     assert abs(c.mean() - d.mean()) / d.mean() < 0.15
     corr = np.corrcoef(c.reshape(-1), d.reshape(-1))[0, 1]
     assert corr > 0.95
+
+
+@pytest.mark.slow
+def test_bdpt_er_matches_volpath_er():
+    """Curved ER connections inside bdpt (edge.cpp:473-643 analogue):
+    the linear-RIF sphere scene renders through bdpt within tolerance of
+    volpath_er (measured rel diff ~10% at these sample counts; both are
+    noisy, so the gate is wide but catches a missing/broken curved
+    connection, which changes the mean several-fold)."""
+    import jax.numpy as jnp
+
+    from mitsubaer_tpu.integrators import render as render_m
+    from mitsubaer_tpu.models import eikonal as ek
+    from mitsubaer_tpu.scene import presets
+
+    scene, cfg = presets.refractive_sphere(
+        res=20, spp=6, max_depth=5, rif_kind=ek.RIF_LINEAR,
+        rif_params=(1.3, 0.15, 0.0, 0.0), er_stepsize=2e-2)
+    a = np.asarray(render_m.render(
+        scene, cfg._replace(integrator="volpath_er"), seed=1))
+    b = np.asarray(render_m.render(
+        scene, cfg._replace(integrator="bdpt"), seed=2))
+    assert np.isfinite(b).all()
+    assert abs(b.mean() / a.mean() - 1) < 0.3, (a.mean(), b.mean())
+
+
+@pytest.mark.slow
+def test_bdpt_transient_er():
+    """Transient ER through bdpt: curved optical lengths land in
+    delayed bins (bdpt_proc.cpp:396-399 pathLength correction)."""
+    from mitsubaer_tpu.integrators import render as render_m
+    from mitsubaer_tpu.models import eikonal as ek
+    from mitsubaer_tpu.scene import presets
+
+    scene, cfg = presets.refractive_sphere(
+        res=10, spp=6, max_depth=4, rif_kind=ek.RIF_LINEAR,
+        rif_params=(1.3, 0.15, 0.0, 0.0), er_stepsize=2e-2,
+        decomposition="transient", min_bound=2.0, max_bound=14.0,
+        bin_width=1.0)
+    img = np.asarray(render_m.render(
+        scene, cfg._replace(integrator="bdpt")))
+    F = cfg.n_frames
+    assert img.shape[-1] == 3 * F
+    per_bin = img.reshape(10, 10, F, 3).sum(axis=(0, 1, 3))
+    assert np.isfinite(per_bin).all()
+    assert (per_bin > 0).sum() >= 3
