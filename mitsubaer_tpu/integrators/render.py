@@ -311,6 +311,12 @@ def render(scene: Scene, cfg: RenderConfig = None, spp: int = None, seed: int = 
         with stats.timed("render.wall"):
             img = bre_m.render_bre(scene, cfg, seed=seed)
         return img
+    if cfg.integrator == "irrcache":
+        from . import irrcache as irr_m
+
+        with stats.timed("render.wall"):
+            img = irr_m.render_irrcache(scene, cfg, seed=seed)
+        return img
     if spp_per_pass is None:
         # bound wavefront to ~2^21 lanes to fit memory comfortably
         spp_per_pass = max(1, min(cfg.spp, (1 << 21) // max(npix, 1)))
