@@ -84,6 +84,14 @@ def eval_texture(tex: Textures, tex_idx, uv, bary=None):
         (kind == TEX_SCALE)[..., None], c0, 1.0), v_bitmap)
 
     out = jnp.ones_like(c0)
+    from ..core import noise as noise_m
+    from ..scene.types import TEX_NOISE
+
+    pn = jnp.stack([st[..., 0] * 8.0, st[..., 1] * 8.0,
+                    jnp.zeros_like(st[..., 0])], axis=-1)
+    tnoise = 0.5 * (noise_m.fbm(pn, octaves=4) + 1.0)[..., None]
+    v_noise = c0 * (1.0 - tnoise) + c1 * tnoise
+    out = jnp.where((kind == TEX_NOISE)[..., None], v_noise, out)
     out = jnp.where((kind == TEX_CHECKERBOARD)[..., None], v_check, out)
     out = jnp.where((kind == TEX_GRIDTEXTURE)[..., None], v_grid, out)
     out = jnp.where((kind == TEX_WIREFRAME)[..., None], v_wire, out)

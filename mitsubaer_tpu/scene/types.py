@@ -49,6 +49,7 @@ TEX_WIREFRAME = 3
 TEX_SCALE = 4          # scale.cpp: constant * nested (we fold: color0 * bitmap)
 TEX_NORMALMAP = 5      # normalmap.cpp: tangent-space normal from RGB
 TEX_BUMPMAP = 6        # bumpmap.cpp: height field; normal from uv gradient
+TEX_NOISE = 7          # noise.cpp: Perlin fBm blending color0/color1
 #   (bump strength = color0[0])
 
 # Emitter kinds (models/emitter.py)
