@@ -216,12 +216,21 @@ def _li_build(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         # exponential distance sampling with the balance strategy gate
         u_d, smp = rng.next_1d(smp)
         uc_d, smp = rng.next_1d(smp)
+        from ..models import medium as medium_m
         from ..models.medium import sample_distance_homogeneous
 
+        # in-medium 4-strategy split (heterogeneousrefractive.cpp:239-255:
+        # the refractive medium reuses the homogeneous strategy family)
+        if cfg.medium_strategies:
+            _strat, _md = medium_m.params_strategy(
+                scene.media, jnp.broadcast_to(med_idx, (n,)))
+        else:
+            _strat, _md = None, None
         t_big = jnp.full((n,), 1e7)
         hs_, t_samp, _, _ = sample_distance_homogeneous(
             jnp.broadcast_to(sigma_a, (n, 3)), jnp.broadcast_to(sigma_s, (n, 3)),
             jnp.broadcast_to(samp_w, (n,)), t_big, u_d, uc_d,
+            strategy=_strat, manual_density=_md,
         )
         want_scatter = hs_  # medium interaction requested by the sampler
         march_dist = jnp.where(want_scatter, t_samp, 1e6)
@@ -261,11 +270,10 @@ def _li_build(scene: Scene, cfg: RenderConfig, o, d, sampler, pixel=None,
         n_end = ek.rif_value(rif, p_m)
         ref_ratio_sq = (n_end / jnp.maximum(n_start, 1e-6)) ** 2
         tr_seg = jnp.exp(-sigma_t[None, :] * geo_m[..., None])
-        # estimator weights (homogeneous balance strategy at curved distance)
-        pdf_fail = jnp.mean(jnp.exp(-sigma_t[None, :] * geo_m[..., None]), axis=-1)
-        pdf_succ = jnp.mean(
-            sigma_t[None, :] * jnp.exp(-sigma_t[None, :] * geo_m[..., None]), axis=-1
-        )
+        # estimator weights: strategy pdfs re-evaluated at the CURVED arc
+        # length (balance unless cfg.medium_strategies)
+        pdf_succ, pdf_fail = medium_m.homog_strategy_pdfs(
+            jnp.broadcast_to(sigma_t, (n, 3)), geo_m, _strat, _md)
         w_sc = sigma_s[None, :] * tr_seg / jnp.maximum(
             (pdf_succ * samp_w)[..., None], 1e-12
         )
@@ -571,13 +579,20 @@ def trace_er_particles(scene: Scene, cfg: RenderConfig, n_particles: int,
         # ---- inside: curved free flight ----
         in_act = active & inside
         u_d, smp = rng.next_1d(smp)
+        from ..models import medium as medium_m
         from ..models.medium import sample_distance_homogeneous
         t_big = jnp.full((n,), 1e7)
         uc_d, smp = rng.next_1d(smp)
+        if cfg.medium_strategies:
+            _strat, _md = medium_m.params_strategy(
+                scene.media, jnp.broadcast_to(med_idx, (n,)))
+        else:
+            _strat, _md = None, None
         hs_, t_samp, _, _ = sample_distance_homogeneous(
             jnp.broadcast_to(sigma_a, (n, 3)),
             jnp.broadcast_to(sigma_s, (n, 3)),
-            jnp.broadcast_to(samp_w, (n,)), t_big, u_d, uc_d)
+            jnp.broadcast_to(samp_w, (n,)), t_big, u_d, uc_d,
+            strategy=_strat, manual_density=_md)
         march = jnp.where(hs_, t_samp, 1e6)
         p_m, v_m, opt_m, geo_m, exited_m, _ = ek.trace_curved(
             rif, sdf, o, v, march, h, max_march, in_act)
@@ -588,8 +603,8 @@ def trace_er_particles(scene: Scene, cfg: RenderConfig, n_particles: int,
         v_m = jnp.where(exited[..., None], v_b, v_m)
         geo_m = jnp.where(exited, geo_m + adv_b, geo_m)
         tr_seg = jnp.exp(-sigma_t[None, :] * geo_m[..., None])
-        pdf_fail = jnp.mean(tr_seg, axis=-1)
-        pdf_succ = jnp.mean(sigma_t[None, :] * tr_seg, axis=-1)
+        pdf_succ, pdf_fail = medium_m.homog_strategy_pdfs(
+            jnp.broadcast_to(sigma_t, (n, 3)), geo_m, _strat, _md)
         w_sc = sigma_s[None, :] * tr_seg / jnp.maximum(
             (pdf_succ * samp_w)[..., None], 1e-12)
         w_ex = tr_seg / jnp.maximum(

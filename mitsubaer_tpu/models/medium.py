@@ -438,6 +438,33 @@ def _maxexp_pdf_cdf(sigma, t):
     return pdf, cdf
 
 
+def homog_strategy_pdfs(sigma_t, dist, strategy=None, manual_density=None):
+    """(pdf_success, pdf_failure) of the homogeneous distance sampler
+    evaluated at `dist`, for any STRAT_* (homogeneous.cpp pdfDistance /
+    pdfFailure). Shared by the refractive medium, whose sampled straight
+    distance is re-weighted at the CURVED arc length — the reference's
+    in-medium strategy split (heterogeneousrefractive.cpp:239-255 reuses
+    the homogeneous strategies around the eikonal march)."""
+    pdf_succ, pdf_fail = _homog_pdfs(sigma_t, dist)
+    if strategy is not None:
+        from ..scene.types import STRAT_MANUAL, STRAT_MAXIMUM, STRAT_SINGLE
+
+        md = jnp.maximum(manual_density, 1e-20)
+        p_single = sigma_t[..., 0] * jnp.exp(-sigma_t[..., 0] * dist)
+        f_single = jnp.exp(-sigma_t[..., 0] * dist)
+        p_manual = md * jnp.exp(-md * dist)
+        f_manual = jnp.exp(-md * dist)
+        p_maxexp, c_maxexp = _maxexp_pdf_cdf(sigma_t, dist)
+        pdf_succ = jnp.where(strategy == STRAT_SINGLE, p_single, pdf_succ)
+        pdf_fail = jnp.where(strategy == STRAT_SINGLE, f_single, pdf_fail)
+        pdf_succ = jnp.where(strategy == STRAT_MANUAL, p_manual, pdf_succ)
+        pdf_fail = jnp.where(strategy == STRAT_MANUAL, f_manual, pdf_fail)
+        pdf_succ = jnp.where(strategy == STRAT_MAXIMUM, p_maxexp, pdf_succ)
+        pdf_fail = jnp.where(strategy == STRAT_MAXIMUM,
+                             1.0 - c_maxexp, pdf_fail)
+    return pdf_succ, pdf_fail
+
+
 def sample_distance_homogeneous(sigma_a, sigma_s, sampling_weight, t_max, u, uc,
                                 strategy=None, manual_density=None):
     """Returns (success, dist, weight, log_pdf); p is filled by the caller.
@@ -480,20 +507,9 @@ def sample_distance_homogeneous(sigma_a, sigma_s, sampling_weight, t_max, u, uc,
 
     success = t_sample < t_max
     dist = jax.lax.stop_gradient(jnp.minimum(t_sample, t_max))
-    pdf_succ, pdf_fail = _homog_pdfs(sigma_t, dist)
-
-    if strategy is not None:
-        p_single = sigma_t[..., 0] * jnp.exp(-sigma_t[..., 0] * dist)
-        f_single = jnp.exp(-sigma_t[..., 0] * dist)
-        p_manual = md * jnp.exp(-md * dist)
-        f_manual = jnp.exp(-md * dist)
-        p_maxexp, c_maxexp = _maxexp_pdf_cdf(sigma_t, dist)
-        pdf_succ = jnp.where(strategy == STRAT_SINGLE, p_single, pdf_succ)
-        pdf_fail = jnp.where(strategy == STRAT_SINGLE, f_single, pdf_fail)
-        pdf_succ = jnp.where(strategy == STRAT_MANUAL, p_manual, pdf_succ)
-        pdf_fail = jnp.where(strategy == STRAT_MANUAL, f_manual, pdf_fail)
-        pdf_succ = jnp.where(strategy == STRAT_MAXIMUM, p_maxexp, pdf_succ)
-        pdf_fail = jnp.where(strategy == STRAT_MAXIMUM, 1.0 - c_maxexp, pdf_fail)
+    pdf_succ, pdf_fail = homog_strategy_pdfs(
+        sigma_t, dist, strategy,
+        None if strategy is None else md)
 
     tr = jnp.exp(-sigma_t * dist[..., None])
     pdf_succ = pdf_succ * w
